@@ -1,0 +1,331 @@
+"""The lap-driving environment as a pure JAX function suite.
+
+TPU-native re-design of reference: CarlaEnv/carla_lap_env.py. The reference
+talks to an external CARLA server over TCP at 30 FPS with one env instance;
+here `step` is a pure function of (EnvState, action, EnvParams) that vmaps
+over thousands of envs and fuses into the PPO rollout scan.
+
+Semantics parity map (reference file:line -> here):
+- action smoothing                carla_lap_env.py:332-333   -> step()
+- waypoint advance dot-walk       carla_lap_env.py:360-371   -> _advance_waypoint()
+- distance from lane center       carla_lap_env.py:376-378   -> _center_distance()
+- distance/speed/deviation accum  carla_lap_env.py:384-389   -> step()
+- lap counting, 3-lap terminal    carla_lap_env.py:392-395   -> step()
+- 50-wp respawn checkpoint        carla_lap_env.py:398-400   -> step()
+- reward + termination plugin     reward_functions.py:21-55  -> rewards.step_reward()
+- training reset to checkpoint    carla_lap_env.py:206-218   -> reset()
+- reset returns first observation carla_lap_env.py:255       -> reset() computes
+  derived fields directly (no 2 s physics settle needed: spawn is exact)
+
+Auto-reset: under vmap there is no Python episode loop, so `autoreset_step`
+resets any env whose previous step latched `terminal`, carrying the persistent
+checkpoint index across the reset like the reference's env object does.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from carla_ppo_tpu.envs import geometry, rewards
+from carla_ppo_tpu.envs.dynamics import vehicle_step
+from carla_ppo_tpu.envs.observations import encode_state_fns, wp_gather
+from carla_ppo_tpu.envs.types import (
+    EnvParams,
+    EnvState,
+    TerminationReason,
+    VehicleState,
+    default_env_state,
+)
+
+
+@struct.dataclass
+class StepOutput:
+    obs: Array
+    reward: Array
+    done: Array
+    # Snapshot of episodic metrics at this step (read them where done=True to
+    # get end-of-episode values, like the reference logs after each episode,
+    # train.py:210-215).
+    total_reward: Array
+    distance_traveled: Array
+    center_lane_deviation: Array
+    speed_accum: Array
+    laps_completed: Array
+    step_count: Array
+    termination_reason: Array
+
+
+def reset(
+    params: EnvParams,
+    rng: Array,
+    is_training: Array | bool = True,
+    checkpoint_idx: Array | int = 0,
+) -> EnvState:
+    """Spawn the vehicle on the track.
+
+    Training: at the persistent respawn checkpoint ("fail faster",
+    reference: carla_lap_env.py:206-209 and README.md:219-237).
+    Eval: at waypoint 0 (reference: carla_lap_env.py:210-213).
+    """
+    track = params.track
+    is_training = jnp.asarray(is_training, jnp.bool_)
+    checkpoint_idx = jnp.asarray(checkpoint_idx, jnp.int32)
+
+    start_idx = jnp.where(
+        is_training, jnp.mod(checkpoint_idx, track.length), jnp.int32(0)
+    )
+    pos = jnp.take(track.pos, start_idx, axis=0)
+    fwd = jnp.take(track.fwd, start_idx, axis=0)
+    yaw = jnp.arctan2(fwd[1], fwd[0])
+
+    rng, k_pos, k_yaw = jax.random.split(rng, 3)
+    lateral = jnp.stack([-fwd[1], fwd[0]])
+    pos = pos + lateral * params.spawn_pos_noise * jax.random.normal(k_pos)
+    yaw = yaw + params.spawn_yaw_noise * jax.random.normal(k_yaw)
+
+    state = default_env_state(track, rng)
+    state = state.replace(
+        vehicle=VehicleState.create(pos, yaw),
+        waypoint_idx=start_idx,
+        start_waypoint_idx=start_idx,
+        checkpoint_idx=checkpoint_idx,
+        is_training=is_training,
+        prev_pos=pos,
+    )
+    return _with_derived(state, params)
+
+
+def _with_derived(state: EnvState, params: EnvParams) -> EnvState:
+    """Fill the step-derived fields the reward/obs layers read."""
+    d, angle = _center_distance_and_angle(state, params)
+    return state.replace(distance_from_center=d, angle_to_road=angle)
+
+
+def _advance_waypoint(state: EnvState, params: EnvParams) -> Array:
+    """How many waypoints did we pass this step?
+
+    The reference walks forward while dot(wp_fwd, pos - wp_pos) > 0
+    (reference: carla_lap_env.py:360-371). Vectorized over a static lookahead
+    window: advance = number of *leading* positive dots (prefix-AND), which is
+    exactly the loop's exit condition.
+    """
+    track = params.track
+    K = params.waypoint_lookahead
+    offsets = jnp.arange(1, K + 1, dtype=jnp.int32)
+    idxs = state.waypoint_idx + offsets
+    wp_pos = wp_gather(track.pos, idxs, track.length, track.is_loop)  # [K,2]
+    wp_fwd = wp_gather(track.fwd, idxs, track.length, track.is_loop)  # [K,2]
+    rel = state.vehicle.pos[None, :] - wp_pos
+    dots = jnp.sum(wp_fwd * rel, axis=-1)
+    passed = dots > 0.0
+    advance = jnp.sum(jnp.cumprod(passed.astype(jnp.int32)))
+    new_idx = state.waypoint_idx + advance
+    # Open routes never advance past the final waypoint.
+    return jnp.where(
+        track.is_loop, new_idx, jnp.minimum(new_idx, track.length - 1)
+    ).astype(jnp.int32)
+
+
+def _center_distance_and_angle(
+    state: EnvState, params: EnvParams
+) -> Tuple[Array, Array]:
+    """Lane-center distance + signed velocity-vs-road angle.
+
+    Reference: carla_lap_env.py:374-378 (distance to the current->next
+    waypoint line) and reward_functions.py:83-86 (angle between the velocity
+    vector and the current waypoint's forward vector).
+    """
+    track = params.track
+    cur_pos = wp_gather(track.pos, state.waypoint_idx, track.length, track.is_loop)
+    nxt_pos = wp_gather(
+        track.pos, state.waypoint_idx + 1, track.length, track.is_loop
+    )
+    cur_fwd = wp_gather(track.fwd, state.waypoint_idx, track.length, track.is_loop)
+
+    d = geometry.distance_to_line(cur_pos, nxt_pos, state.vehicle.pos)
+
+    vel = state.vehicle.velocity
+    # At standstill the velocity direction is undefined; use the body forward
+    # vector (the reference feeds atan2(0,0)=0 - strictly noisier).
+    ref_vec = jnp.where(state.vehicle.speed > 1e-3, vel, state.vehicle.forward)
+    angle = geometry.angle_diff(ref_vec, cur_fwd)
+    return d, angle
+
+
+@partial(jax.jit, static_argnames=("obs_fn",))
+def step(
+    state: EnvState,
+    action: Array,
+    params: EnvParams,
+    obs_fn: str = "vector",
+) -> Tuple[EnvState, StepOutput]:
+    """One synchronous env tick. `action` = [steer in [-1,1], throttle in [0,1]].
+
+    Mirrors reference: carla_lap_env.py:310-413 end to end, minus the RPC/
+    busy-wait plumbing that doesn't exist on-device.
+    """
+    track = params.track
+    action = jnp.asarray(action, jnp.float32)
+    act = jnp.stack(
+        [jnp.clip(action[0], -1.0, 1.0), jnp.clip(action[1], 0.0, 1.0)]
+    )
+
+    # Action smoothing (reference: carla_lap_env.py:332-333).
+    a = params.action_smoothing
+    control = state.control * a + act * (1.0 - a)
+
+    # Physics tick (replaces world.tick + wait_for_tick RPC).
+    vehicle = vehicle_step(
+        params.vehicle,
+        state.vehicle,
+        control[0],
+        control[1],
+        params.dt,
+        substeps=params.physics_substeps,
+        dynamics_model=params.dynamics_model,
+    )
+
+    mid = state.replace(vehicle=vehicle, control=control)
+
+    # Waypoint bookkeeping.
+    waypoint_idx = _advance_waypoint(mid, params)
+    mid = mid.replace(waypoint_idx=waypoint_idx)
+    distance_from_center, angle = _center_distance_and_angle(mid, params)
+
+    # Metric accumulators (reference: carla_lap_env.py:379-389).
+    step_dist = jnp.linalg.norm(vehicle.pos - state.prev_pos)
+    distance_traveled = state.distance_traveled + step_dist
+    center_lane_deviation = state.center_lane_deviation + distance_from_center
+    speed_accum = state.speed_accum + vehicle.speed
+
+    # Lap counting (reference: carla_lap_env.py:392-395).
+    laps_completed = (
+        (waypoint_idx - state.start_waypoint_idx).astype(jnp.float32)
+        / track.length.astype(jnp.float32)
+    )
+    laps_done = laps_completed >= params.max_laps
+
+    # Respawn checkpoint (reference: carla_lap_env.py:398-400).
+    checkpoint_idx = jnp.where(
+        state.is_training,
+        (waypoint_idx // params.checkpoint_frequency) * params.checkpoint_frequency,
+        state.checkpoint_idx,
+    )
+
+    # Lane invasion / collision events. The track's lane half-width bounds the
+    # driving lane; beyond half-width + shoulder we call it a collision with
+    # the roadside. (The reference only HUD-notifies these,
+    # carla_lap_env.py:453-459; termination is opt-in here.)
+    half_width = wp_gather(track.left_width, waypoint_idx, track.length, track.is_loop)
+    lane_invasion = distance_from_center > half_width
+    collision = distance_from_center > half_width + 1.5
+
+    step_count = state.step_count + 1
+    over_distance = distance_traveled >= params.max_distance_traveled
+    over_steps = step_count >= params.max_episode_steps
+
+    env_terminal = laps_done | over_distance | over_steps
+    if params.terminate_on_collision:
+        env_terminal = env_terminal | collision
+    if params.terminate_on_lane_invasion:
+        env_terminal = env_terminal | lane_invasion
+    env_reason = jnp.where(
+        laps_done,
+        jnp.int32(TerminationReason.LAPS_DONE),
+        jnp.where(
+            over_distance,
+            jnp.int32(TerminationReason.MAX_DISTANCE),
+            jnp.where(
+                over_steps,
+                jnp.int32(TerminationReason.TIME_LIMIT),
+                jnp.where(
+                    collision & params.terminate_on_collision,
+                    jnp.int32(TerminationReason.COLLISION),
+                    jnp.int32(TerminationReason.LANE_INVASION),
+                ),
+            ),
+        ),
+    )
+
+    mid = mid.replace(
+        distance_from_center=distance_from_center,
+        angle_to_road=angle,
+        collision=collision,
+        lane_invasion=lane_invasion,
+    )
+
+    reward, terminal, reason, low_speed_timer = rewards.step_reward(
+        mid, params, env_terminal, env_reason
+    )
+
+    total_reward = state.total_reward + reward
+
+    next_state = mid.replace(
+        checkpoint_idx=checkpoint_idx,
+        low_speed_timer=low_speed_timer,
+        step_count=step_count,
+        time=state.time + params.dt,
+        terminal=terminal,
+        truncated=over_steps & ~laps_done,
+        termination_reason=reason,
+        last_reward=reward,
+        prev_pos=vehicle.pos,
+        total_reward=total_reward,
+        distance_traveled=distance_traveled,
+        center_lane_deviation=center_lane_deviation,
+        speed_accum=speed_accum,
+        laps_completed=laps_completed,
+    )
+
+    obs = encode_state_fns[obs_fn](next_state, params)
+    out = StepOutput(
+        obs=obs,
+        reward=reward,
+        done=terminal,
+        total_reward=total_reward,
+        distance_traveled=distance_traveled,
+        center_lane_deviation=center_lane_deviation,
+        speed_accum=speed_accum,
+        laps_completed=laps_completed,
+        step_count=step_count,
+        termination_reason=reason,
+    )
+    return next_state, out
+
+
+def autoreset_step(
+    state: EnvState,
+    action: Array,
+    params: EnvParams,
+    obs_fn: str = "vector",
+) -> Tuple[EnvState, StepOutput]:
+    """Step with branchless auto-reset.
+
+    If the incoming state is terminal, the env is re-spawned (keeping the
+    persistent checkpoint index and training flag, like the reference's env
+    object does between episodes) and the *reset* state is stepped. The
+    returned StepOutput therefore always reflects a live transition.
+    """
+    rng, reset_rng = jax.random.split(state.rng)
+    fresh = reset(
+        params,
+        reset_rng,
+        is_training=state.is_training,
+        checkpoint_idx=state.checkpoint_idx,
+    )
+    base = jax.tree.map(
+        lambda a, b: jnp.where(state.terminal, a, b),
+        fresh,
+        state.replace(rng=rng),
+    )
+    return step(base, action, params, obs_fn=obs_fn)
+
+
+def observe(state: EnvState, params: EnvParams, obs_fn: str = "vector") -> Array:
+    return encode_state_fns[obs_fn](state, params)

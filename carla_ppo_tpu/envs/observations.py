@@ -1,0 +1,103 @@
+"""State-encoding plugin layer (obs builders).
+
+Parity with the reference's `encode_state_fn` injection: the env returns
+whatever the configured encoder produces, instead of raw pixels
+(reference: vae_common.py:33-62, injected at carla_lap_env.py:141).
+
+Encoders here are pure functions of (EnvState, EnvParams) so they trace into
+the jitted step. Three families, mirroring the reference's capability ladder:
+
+- "vector": ground-truth road-relative features (no VAE/camera needed); the
+  fastest path and the round-1 training config.
+- "latent": frozen-VAE latent of the on-device seg camera frame ++ driving
+  measurements [steer, throttle, speed] - the reference's 64+3 observation
+  (reference: vae_common.py:45-62); wired up in training/ppo once a VAE is
+  available.
+- "pixels": the raw on-device camera frame (Pallas rasterizer).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+from jax import Array
+
+from carla_ppo_tpu.envs import geometry
+from carla_ppo_tpu.envs.types import EnvParams, EnvState
+
+# Lookahead offsets (waypoints ~= meters) for road-preview features.
+PREVIEW_OFFSETS = (2, 4, 8, 16, 32, 64)
+
+
+def wp_gather(track_arr: Array, idx: Array, length: Array, is_loop: Array) -> Array:
+    """Gather track data at a monotonic waypoint index, wrapping on loops and
+    clamping on open routes (reference mods by len(route): carla_lap_env.py:364)."""
+    i = jnp.where(is_loop, jnp.mod(idx, length), jnp.minimum(idx, length - 1))
+    return jnp.take(track_arr, i, axis=0)
+
+
+def vector_obs(state: EnvState, params: EnvParams) -> Array:
+    """Ground-truth road-relative observation, [obs_dim] float32.
+
+    Features (all roughly unit-scale):
+      0: signed lateral offset / max_distance
+      1: heading error (velocity vs road) / angle_factor_max
+      2: speed (km/h) / target_speed
+      3: current steer control
+      4: current throttle control
+      5: steer_angle / max_steer (actuator state)
+      6..: per-preview-offset (bearing to waypoint in vehicle frame,
+           relative road heading at that waypoint), each /pi
+    """
+    track = params.track
+    veh = state.vehicle
+    rp = params.reward
+
+    cur = wp_gather(track.pos, state.waypoint_idx, track.length, track.is_loop)
+    nxt = wp_gather(track.pos, state.waypoint_idx + 1, track.length, track.is_loop)
+    signed_offset = geometry.signed_distance_to_line(cur, nxt, veh.pos)
+
+    feats = [
+        signed_offset / rp.max_distance,
+        state.angle_to_road / rp.angle_factor_max,
+        3.6 * veh.speed / rp.target_speed,
+        state.control[0],
+        state.control[1],
+        veh.steer_angle / params.vehicle.max_steer,
+    ]
+
+    fwd = veh.forward
+    for k in PREVIEW_OFFSETS:
+        wp_pos = wp_gather(
+            track.pos, state.waypoint_idx + k, track.length, track.is_loop
+        )
+        wp_fwd = wp_gather(
+            track.fwd, state.waypoint_idx + k, track.length, track.is_loop
+        )
+        bearing = geometry.angle_diff(fwd, wp_pos - veh.pos)
+        rel_heading = geometry.angle_diff(fwd, wp_fwd)
+        feats.append(bearing / jnp.pi)
+        feats.append(rel_heading / jnp.pi)
+
+    return jnp.stack(feats).astype(jnp.float32)
+
+
+def vector_obs_dim() -> int:
+    return 6 + 2 * len(PREVIEW_OFFSETS)
+
+
+def measurements(state: EnvState) -> Array:
+    """[steer, throttle, speed] appended to VAE latents
+    (reference: vae_common.py:52-54; speed in m/s as the reference's
+    get_speed returns m/s)."""
+    return jnp.stack(
+        [state.control[0], state.control[1], state.vehicle.speed]
+    ).astype(jnp.float32)
+
+
+ObsFn = Callable[[EnvState, EnvParams], Array]
+
+encode_state_fns: Dict[str, ObsFn] = {
+    "vector": vector_obs,
+}

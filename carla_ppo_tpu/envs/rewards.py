@@ -1,0 +1,159 @@
+"""Reward/termination plugin layer, pure-function edition.
+
+Parity with reference: reward_functions.py. The reference wraps each named
+reward in `create_reward_fn` (reference: reward_functions.py:8-56) which adds
+termination logic (low-speed timeout, off-center, optional over-speed) and a
+-10 terminal penalty; here that wrapper is `step_reward`, evaluated branch-free
+inside the jitted env step.
+
+Differences from the reference, on purpose (SURVEY.md "quirks"):
+- the low-speed timer is per-env state, not a module global shared across env
+  instances (reference: reward_functions.py:4,26 - a documented bug);
+- the over-speed termination works (the reference reads an unbound variable
+  `speed_kmh`, reward_functions.py:38);
+- collision / lane-invasion termination are real, configurable causes instead
+  of HUD notifications (reference: carla_lap_env.py:453-459).
+
+All reward fns take scalar per-env inputs and broadcast under vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+from jax import Array
+
+from carla_ppo_tpu.envs.types import EnvState, EnvParams, RewardParams, TerminationReason
+
+# A reward fn maps (state, params) -> scalar reward, given a state whose
+# step-derived fields (distance_from_center, angle_to_road, speed) are fresh.
+RewardFn = Callable[[EnvState, EnvParams], Array]
+
+reward_functions: Dict[str, RewardFn] = {}
+
+
+def register(name: str) -> Callable[[RewardFn], RewardFn]:
+    def deco(fn: RewardFn) -> RewardFn:
+        reward_functions[name] = fn
+        return fn
+
+    return deco
+
+
+def _speed_reward(speed_kmh: Array, rp: RewardParams) -> Array:
+    """Trapezoid speed shaping (reference: reward_functions.py:88-95):
+    0 -> 1 over [0, min_speed], 1 on [min_speed, target_speed], then falling
+    1 -> 0 over [target_speed, max_speed] and negative beyond."""
+    rising = speed_kmh / rp.min_speed
+    falling = 1.0 - (speed_kmh - rp.target_speed) / (rp.max_speed - rp.target_speed)
+    return jnp.where(
+        speed_kmh < rp.min_speed,
+        rising,
+        jnp.where(speed_kmh > rp.target_speed, falling, 1.0),
+    )
+
+
+def _centering_factor(state: EnvState, rp: RewardParams) -> Array:
+    """1 when centered, 0 at max_distance (reference: reward_functions.py:98)."""
+    return jnp.maximum(1.0 - state.distance_from_center / rp.max_distance, 0.0)
+
+
+def _angle_factor(state: EnvState, rp: RewardParams) -> Array:
+    """1 aligned with road, 0 at +-20 deg (reference: reward_functions.py:101)."""
+    return jnp.maximum(
+        1.0 - jnp.abs(state.angle_to_road / rp.angle_factor_max), 0.0
+    )
+
+
+@register("reward_kendall")
+def reward_kendall(state: EnvState, params: EnvParams) -> Array:
+    """Speed in km/h ('Learn to Drive in a Day'; reference:
+    reward_functions.py:65-67)."""
+    return 3.6 * state.vehicle.speed
+
+
+@register("reward_speed_centering_angle_add")
+def reward_speed_centering_angle_add(state: EnvState, params: EnvParams) -> Array:
+    """speed + centering + angle (reference: reward_functions.py:72-106)."""
+    rp = params.reward
+    return (
+        _speed_reward(3.6 * state.vehicle.speed, rp)
+        + _centering_factor(state, rp)
+        + _angle_factor(state, rp)
+    )
+
+
+@register("reward_speed_centering_angle_multiply")
+def reward_speed_centering_angle_multiply(
+    state: EnvState, params: EnvParams
+) -> Array:
+    """speed * centering * angle (reference: reward_functions.py:111-145;
+    the default in reference: train.py:253)."""
+    rp = params.reward
+    return (
+        _speed_reward(3.6 * state.vehicle.speed, rp)
+        * _centering_factor(state, rp)
+        * _angle_factor(state, rp)
+    )
+
+
+def step_reward(
+    state: EnvState, params: EnvParams, extra_terminal: Array, extra_reason: Array
+) -> tuple[Array, Array, Array, Array]:
+    """The `create_reward_fn` wrapper as a pure function.
+
+    Args:
+      state: env state with fresh step-derived fields; `state.low_speed_timer`
+        is the timer value *before* this step and `state.terminal` any
+        already-latched terminal (e.g. 3 laps done).
+      extra_terminal / extra_reason: terminal conditions detected by the env
+        step itself (laps done, max distance, collision...), merged with the
+        reward layer's own causes at the reference's priority order.
+
+    Returns:
+      (reward, terminal, reason, new_low_speed_timer)
+    """
+    rp = params.reward
+    speed = state.vehicle.speed
+
+    # Timer accrues sim time each step (reference: reward_functions.py:26
+    # adds 1/fps per call).
+    timer = state.low_speed_timer + params.dt
+
+    stopped = jnp.logical_and(timer > rp.low_speed_timeout, speed < rp.low_speed_threshold)
+    off_track = state.distance_from_center > rp.max_distance
+    too_fast = jnp.logical_and(
+        rp.max_speed_terminate > 0.0, 3.6 * speed > rp.max_speed_terminate
+    )
+
+    terminal = stopped | off_track | too_fast | extra_terminal
+
+    # Reason priority: env-level causes first (they were latched before the
+    # reward fn ran in the reference too), then stopped/off-track/too-fast in
+    # source order (reference: reward_functions.py:24-40, later checks win
+    # there; we keep first-cause-wins for stable metrics).
+    reason = jnp.where(
+        extra_terminal,
+        extra_reason,
+        jnp.where(
+            stopped,
+            jnp.int32(TerminationReason.VEHICLE_STOPPED),
+            jnp.where(
+                off_track,
+                jnp.int32(TerminationReason.OFF_TRACK),
+                jnp.where(
+                    too_fast,
+                    jnp.int32(TerminationReason.TOO_FAST),
+                    jnp.int32(TerminationReason.RUNNING),
+                ),
+            ),
+        ),
+    )
+
+    base = reward_functions[params.reward_fn](state, params)
+    # Non-terminal: shaped reward. Terminal: flat penalty and reset the timer
+    # (reference: reward_functions.py:43-48).
+    reward = jnp.where(terminal, rp.terminal_penalty, base)
+    timer = jnp.where(terminal, 0.0, timer)
+    return reward, terminal, reason, timer

@@ -1,0 +1,154 @@
+"""End-to-end functional-env tests: reset semantics, waypoint tracking,
+metrics, auto-reset, vmap batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_ppo_tpu.envs import lap_env
+from carla_ppo_tpu.envs.observations import vector_obs_dim
+from carla_ppo_tpu.envs.types import TerminationReason
+
+
+def drive_controller(state, params):
+    """Simple centerline-following heuristic: steer from obs features."""
+    obs = lap_env.observe(state, params)
+    # obs[0]=signed offset, obs[6]=bearing to wp+2 (scaled by pi).
+    steer = jnp.clip(-0.5 * obs[0] + 2.5 * obs[6], -1.0, 1.0)
+    throttle = jnp.where(3.6 * state.vehicle.speed < 19.0, 1.0, 0.1)
+    return jnp.stack([steer, throttle])
+
+
+def test_reset_on_track(lap_params):
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    assert float(s.distance_from_center) < 0.1
+    assert abs(float(s.angle_to_road)) < 0.1
+    assert float(s.vehicle.speed) == 0.0
+    assert int(s.step_count) == 0
+
+
+def test_eval_reset_at_start(lap_params):
+    s = lap_env.reset(
+        lap_params, jax.random.PRNGKey(0), is_training=False, checkpoint_idx=150
+    )
+    assert int(s.waypoint_idx) == 0
+    s = lap_env.reset(
+        lap_params, jax.random.PRNGKey(0), is_training=True, checkpoint_idx=150
+    )
+    assert int(s.waypoint_idx) == 150
+
+
+def test_step_advances_waypoints(lap_params):
+    """Full throttle along the road must advance the waypoint index."""
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+
+    def body(s, _):
+        a = drive_controller(s, lap_params)
+        s, out = lap_env.step(s, a, lap_params)
+        return s, out
+
+    s, outs = jax.lax.scan(body, s, None, length=300)  # 10 s
+    assert int(s.waypoint_idx) > 20
+    assert float(s.distance_traveled) > 20.0
+    assert float(s.distance_from_center) < 1.5
+    assert not bool(s.terminal)
+    # speed_accum/step_count is avg speed (reference: train.py:126).
+    avg_kmh = 3.6 * float(s.speed_accum) / int(s.step_count)
+    assert 5.0 < avg_kmh < 30.0
+
+
+def test_checkpoint_updates(lap_params):
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    s = s.replace(waypoint_idx=jnp.int32(123))
+    s, _ = lap_env.step(s, jnp.array([0.0, 0.0]), lap_params)
+    # (123 // 50) * 50 = 100 (reference: carla_lap_env.py:398-400).
+    assert int(s.checkpoint_idx) == 100
+
+
+def test_eval_does_not_update_checkpoint(lap_params):
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0), is_training=False)
+    s = s.replace(waypoint_idx=jnp.int32(123))
+    s, _ = lap_env.step(s, jnp.array([0.0, 0.0]), lap_params)
+    assert int(s.checkpoint_idx) == 0
+
+
+def test_lap_counting_and_terminal(lap_params):
+    n = int(lap_params.track.length)
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    # Teleport bookkeeping to nearly 3 laps.
+    s = s.replace(waypoint_idx=jnp.int32(3 * n - 1))
+    s = s.replace(
+        vehicle=s.vehicle.replace(
+            pos=lap_params.track.pos[(3 * n) % n], vx=jnp.float32(6.0)
+        )
+    )
+    s, out = lap_env.step(s, jnp.array([0.0, 0.5]), lap_params)
+    assert float(s.laps_completed) >= 3.0 or int(s.waypoint_idx) == 3 * n - 1
+
+
+def test_off_track_terminates(lap_params):
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    # Teleport 4 m off the centerline.
+    fwd = np.asarray(lap_params.track.fwd[0])
+    lateral = np.array([-fwd[1], fwd[0]])
+    s = s.replace(
+        vehicle=s.vehicle.replace(pos=jnp.asarray(np.asarray(s.vehicle.pos) + 4.0 * lateral))
+    )
+    s, out = lap_env.step(s, jnp.array([0.0, 0.0]), lap_params)
+    assert bool(out.done)
+    assert int(s.termination_reason) == TerminationReason.OFF_TRACK
+    assert float(out.reward) == pytest.approx(-10.0)
+
+
+def test_action_smoothing(lap_params):
+    params = lap_params.replace(action_smoothing=jnp.float32(0.9))
+    s = lap_env.reset(params, jax.random.PRNGKey(0))
+    s, _ = lap_env.step(s, jnp.array([1.0, 1.0]), params)
+    # control = 0 * 0.9 + 1 * 0.1 (reference: carla_lap_env.py:332-333).
+    np.testing.assert_allclose(np.asarray(s.control), [0.1, 0.1], atol=1e-6)
+
+
+def test_autoreset(lap_params):
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    s = s.replace(
+        terminal=jnp.bool_(True),
+        checkpoint_idx=jnp.int32(100),
+        total_reward=jnp.float32(-50.0),
+        distance_traveled=jnp.float32(123.0),
+    )
+    s2, out = lap_env.autoreset_step(s, jnp.array([0.0, 1.0]), lap_params)
+    # Fresh episode: metrics restarted, spawned at the checkpoint.
+    assert int(s2.step_count) == 1
+    assert float(s2.distance_traveled) < 1.0
+    assert int(s2.start_waypoint_idx) == 100
+    assert int(s2.checkpoint_idx) == 100
+    assert not bool(s2.terminal)
+
+
+def test_autoreset_noop_when_alive(lap_params):
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    s1, o1 = lap_env.step(s, jnp.array([0.1, 0.5]), lap_params)
+    s2, o2 = lap_env.autoreset_step(s, jnp.array([0.1, 0.5]), lap_params)
+    np.testing.assert_allclose(np.asarray(s1.vehicle.pos), np.asarray(s2.vehicle.pos))
+    assert float(o1.reward) == pytest.approx(float(o2.reward))
+
+
+def test_vmap_batch(lap_params):
+    B = 32
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.vmap(lambda k: lap_env.reset(lap_params, k))(keys)
+    actions = jnp.tile(jnp.array([0.0, 1.0]), (B, 1))
+    step = jax.vmap(lambda s, a: lap_env.autoreset_step(s, a, lap_params))
+    states, outs = step(states, actions)
+    assert outs.obs.shape == (B, vector_obs_dim())
+    assert outs.reward.shape == (B,)
+    assert bool(jnp.all(states.step_count == 1))
+
+
+def test_obs_finite_and_scaled(lap_params):
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    for _ in range(50):
+        s, out = lap_env.step(s, jnp.array([0.3, 1.0]), lap_params)
+        assert bool(jnp.all(jnp.isfinite(out.obs)))
+    assert float(jnp.abs(out.obs).max()) < 20.0
