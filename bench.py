@@ -1,0 +1,66 @@
+"""Headline benchmark: PPO training env-steps/sec at 1024 vectorized envs.
+
+Measures the FULL fused pipeline (rollout + GAE + 3x4 minibatch Adam updates,
+vector observations) on whatever devices are attached, and prints ONE JSON
+line. Baseline: the reference runs one CARLA env at 30 FPS with batch-of-1
+sess.run round-trips => ~30 env-steps/sec (BASELINE.md "Simulation rate").
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+
+def main() -> None:
+    from carla_ppo_tpu.envs import track
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+    from carla_ppo_tpu.envs.types import EnvParams
+    from carla_ppo_tpu.models.policy import ActorCritic
+    from carla_ppo_tpu.training import ppo
+
+    NUM_ENVS = 1024
+    HORIZON = 128
+    BASELINE_STEPS_PER_SEC = 30.0  # reference: one CARLA env @ 30 FPS
+
+    model = ActorCritic()
+    config = ppo.PPOConfig(num_envs=NUM_ENVS, horizon=HORIZON)
+    env_params = EnvParams(track=track.make_lap_track(seed=0))
+
+    rng = jax.random.PRNGKey(0)
+    train_state = ppo.create_train_state(model, config, vector_obs_dim(), rng)
+    env_states = ppo.init_env_batch(env_params, NUM_ENVS, rng)
+
+    def run(n_iters, train_state, env_states):
+        for _ in range(n_iters):
+            train_state, env_states, metrics = ppo.train_iteration(
+                train_state, env_states, env_params, model, config
+            )
+        jax.block_until_ready(train_state.params)
+        return train_state, env_states
+
+    # Warmup / compile.
+    train_state, env_states = run(2, train_state, env_states)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    train_state, env_states = run(n_iters, train_state, env_states)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = NUM_ENVS * HORIZON * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_train_env_steps_per_sec_1024envs",
+                "value": round(steps_per_sec, 1),
+                "unit": "env_steps/sec",
+                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Data-parallel PPO over a device mesh via shard_map.
+
+Each device owns a shard of the vectorized env batch (the whole simulator is
+on-device, so "sharding the environment" is just sharding its state pytree),
+runs the fused rollout->GAE->update iteration locally, and all-reduces
+gradients / statistics over ICI with psum/pmean. Parameters and optimizer
+state stay replicated and bit-identical across devices because every
+collective happens before `optax.apply_updates`.
+
+This is the component inventory's "multi-chip scaling" row (SURVEY.md
+section 2.3) - the reference has no distributed machinery at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import Array
+
+from carla_ppo_tpu.envs.types import EnvParams, EnvState
+from carla_ppo_tpu.models.policy import ActorCritic
+from carla_ppo_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+from carla_ppo_tpu.training import ppo
+from carla_ppo_tpu.training.ppo import PPOConfig, TrainState
+
+
+def make_dp_train_iteration(
+    mesh: Mesh,
+    model: ActorCritic,
+    config: PPOConfig,
+    env_params: EnvParams,
+    axis_name: str = DATA_AXIS,
+):
+    """Build a jitted data-parallel train iteration bound to `mesh`.
+
+    Returns fn(train_state, env_states) -> (train_state, env_states, metrics)
+    where env_states is sharded on its leading axis and train_state is
+    replicated.
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P(axis_name), P()),
+        check_vma=False,
+    )
+    def dp_iteration(
+        train_state: TrainState, env_states: EnvState
+    ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
+        return ppo.train_iteration_core(
+            train_state, env_states, env_params, model, config,
+            axis_name=axis_name,
+        )
+
+    return jax.jit(dp_iteration)
+
+
+def shard_env_batch(env_states: EnvState, mesh: Mesh) -> EnvState:
+    """Place an env-state batch with its leading axis sharded over the mesh."""
+    return jax.device_put(env_states, batch_sharding(mesh))
+
+
+def replicate(tree, mesh: Mesh):
+    from carla_ppo_tpu.parallel.mesh import replicated
+
+    return jax.device_put(tree, replicated(mesh))

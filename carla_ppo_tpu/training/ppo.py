@@ -1,0 +1,470 @@
+"""PPO: rollout -> GAE -> clipped-surrogate updates, fused into one XLA program.
+
+Re-designs reference: ppo.py + the driver loop in train.py:117-207 for TPU.
+The reference interleaves batch-of-1 sess.run policy samples with CARLA RPC
+ticks at ~30 steps/s; here `train_iteration` is a single jitted function that
+scans the env+policy over the horizon for B vectorized envs, computes GAE, and
+runs num_epochs x num_minibatches Adam updates - all without leaving HBM.
+
+Loss parity (reference: ppo.py:115-132):
+    ratio        = exp(logpi(a|s;theta) - logpi(a|s;theta_old))
+    policy_loss  = mean(min(ratio * A, clip(ratio, 1-eps, 1+eps) * A))
+    value_loss   = mean((V - R)^2) * value_scale
+    entropy_loss = mean(sum(entropy, -1)) * entropy_scale
+    loss         = -policy_loss + value_loss - entropy_loss
+
+theta_old bookkeeping: the reference copies theta -> theta_old after the
+rollout, before the epochs (train.py:192; ppo.py:147), so theta_old during the
+updates is exactly the rollout policy; we therefore store the rollout log-probs
+instead of keeping a second parameter copy and re-running the network
+(identical math, half the FLOPs and memory).
+
+LR schedule: exponential decay per iteration, staircase, like the reference's
+per-episode decay (ppo.py:142); default decay 1.0 (train.py:225).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import Array
+
+from carla_ppo_tpu.envs import lap_env
+from carla_ppo_tpu.envs.types import EnvParams, EnvState
+from carla_ppo_tpu.models.policy import ActorCritic, gaussian_entropy, gaussian_log_prob
+from carla_ppo_tpu.ops import gae
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Hyperparameters; defaults = reference CLI defaults (train.py:224-235)."""
+
+    learning_rate: float = 1e-4
+    lr_decay: float = 1.0
+    discount_factor: float = 0.99
+    gae_lambda: float = 0.95
+    ppo_epsilon: float = 0.2
+    initial_std: float = 1.0
+    value_scale: float = 1.0
+    entropy_scale: float = 0.01
+    horizon: int = 128
+    num_epochs: int = 3
+    num_envs: int = 1024
+    # Vectorized analog of the reference's minibatch 32 over 128 samples:
+    # 1/4 of the batch per minibatch, 4 minibatches per epoch.
+    num_minibatches: int = 4
+    normalize_advantage: bool = True
+    obs_fn: str = "vector"
+    max_grad_norm: float = 0.0  # 0 disables clipping (reference has none)
+    use_associative_gae: bool = False
+
+    @property
+    def updates_per_iteration(self) -> int:
+        return self.num_epochs * self.num_minibatches
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    iteration: Array  # [] int32, analog of the episode counter (ppo.py:103)
+    train_step: Array  # [] int32, # minibatch updates (ppo.py:101)
+    total_env_steps: Array  # [] int64-ish float for logging
+    episodes_done: Array  # [] int32 cumulative finished episodes
+    rng: Array
+
+
+@struct.dataclass
+class Trajectory:
+    obs: Array  # [T, B, D]
+    actions: Array  # [T, B, A]
+    log_probs: Array  # [T, B]
+    values: Array  # [T, B]
+    rewards: Array  # [T, B]
+    dones: Array  # [T, B]
+
+
+def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=config.learning_rate,
+        transition_steps=config.updates_per_iteration,
+        decay_rate=config.lr_decay,
+        staircase=True,
+    )
+    tx = optax.adam(schedule, eps=1e-8)
+    if config.max_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(config.max_grad_norm), tx)
+    return tx
+
+
+def create_train_state(
+    model: ActorCritic, config: PPOConfig, obs_dim: int, rng: Array
+) -> TrainState:
+    params = model.init(rng, jnp.zeros((1, obs_dim), jnp.float32))
+    opt_state = make_optimizer(config).init(params)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        iteration=jnp.int32(0),
+        train_step=jnp.int32(0),
+        total_env_steps=jnp.float32(0.0),
+        episodes_done=jnp.int32(0),
+        rng=rng,
+    )
+
+
+def rollout(
+    model: ActorCritic,
+    params: Any,
+    env_states: EnvState,
+    env_params: EnvParams,
+    rng: Array,
+    horizon: int,
+    obs_fn: str,
+) -> Tuple[EnvState, Trajectory, Array, Dict[str, Array]]:
+    """Scan the policy+env for `horizon` steps over the whole env batch.
+
+    Returns (env_states, trajectory, bootstrap_value, episodic_metrics).
+    Episodic metrics are means over episodes that *finished* during the
+    rollout (the snapshots StepOutput carries at done=True), mirroring the
+    per-episode scalars the reference logs (train.py:210-215).
+    """
+    obs0 = jax.vmap(lambda s: lap_env.observe(s, env_params, obs_fn))(env_states)
+
+    def step_fn(carry, key):
+        env_states, obs = carry
+        action, logp, value = model.sample(params, obs, key)
+        env_states, out = jax.vmap(
+            lambda s, a: lap_env.autoreset_step(s, a, env_params, obs_fn)
+        )(env_states, action)
+        traj = Trajectory(
+            obs=obs,
+            actions=action,
+            log_probs=logp,
+            values=value,
+            rewards=out.reward,
+            dones=out.done.astype(jnp.float32),
+        )
+        ep = (
+            out.done.astype(jnp.float32),
+            out.total_reward,
+            out.distance_traveled,
+            out.speed_accum,
+            out.center_lane_deviation,
+            out.laps_completed,
+            out.step_count.astype(jnp.float32),
+        )
+        return (env_states, out.obs), (traj, ep)
+
+    keys = jax.random.split(rng, horizon)
+    (env_states, last_obs), (traj, ep) = jax.lax.scan(
+        step_fn, (env_states, obs0), keys
+    )
+
+    _, _, bootstrap_value = model.apply(params, last_obs)
+
+    done_w, ep_rew, ep_dist, ep_speed, ep_dev, ep_laps, ep_len = ep
+    n_done = jnp.maximum(done_w.sum(), 1.0)
+
+    def ep_mean(x):
+        return (x * done_w).sum() / n_done
+
+    safe_len = jnp.maximum(ep_len, 1.0)
+    safe_dev = jnp.maximum(ep_dev, 1e-6)
+    episodic = {
+        "train/reward": ep_mean(ep_rew),
+        "train/distance_traveled": ep_mean(ep_dist),
+        "train/average_speed": ep_mean(3.6 * ep_speed / safe_len),
+        "train/center_lane_deviation": ep_mean(ep_dev),
+        "train/average_center_lane_deviation": ep_mean(ep_dev / safe_len),
+        "train/distance_over_deviation": ep_mean(ep_dist / safe_dev),
+        "train/laps_completed": ep_mean(ep_laps),
+        "train/episode_length": ep_mean(ep_len),
+        "train/episodes_finished": done_w.sum(),
+    }
+    return env_states, traj, bootstrap_value, episodic
+
+
+def ppo_loss(
+    params: Any,
+    model: ActorCritic,
+    batch: Dict[str, Array],
+    config: PPOConfig,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Clipped-surrogate loss on a flat minibatch (reference: ppo.py:115-132)."""
+    mean, std, value = model.apply(params, batch["obs"])
+    logp = gaussian_log_prob(batch["actions"], mean, std)
+    ratio = jnp.exp(logp - batch["log_probs"])
+
+    adv = batch["advantages"]
+    policy_loss = jnp.mean(
+        jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1.0 - config.ppo_epsilon, 1.0 + config.ppo_epsilon)
+            * adv,
+        )
+    )
+    value_loss = jnp.mean((value - batch["returns"]) ** 2) * config.value_scale
+    entropy_loss = jnp.mean(gaussian_entropy(std)) * config.entropy_scale
+    loss = -policy_loss + value_loss - entropy_loss
+
+    metrics = {
+        "train_loss/policy": policy_loss,
+        "train_loss/value": value_loss,
+        "train_loss/entropy": entropy_loss,
+        "train_loss/loss": loss,
+        "train/prob_ratio": jnp.mean(ratio),
+        "train/returns": jnp.mean(batch["returns"]),
+        "train/advantage": jnp.mean(adv),
+        "train_actor/action_0/mean": jnp.mean(mean[:, 0]),
+        "train_actor/action_1/mean": jnp.mean(mean[:, 1]),
+        "train_actor/action_0/std": std[0],
+        "train_actor/action_1/std": std[1],
+        "train_actor/action_0/taken_actions": jnp.mean(batch["actions"][:, 0]),
+        "train_actor/action_1/taken_actions": jnp.mean(batch["actions"][:, 1]),
+    }
+    return loss, metrics
+
+
+def train_iteration_core(
+    train_state: TrainState,
+    env_states: EnvState,
+    env_params: EnvParams,
+    model: ActorCritic,
+    config: PPOConfig,
+    axis_name: str | None = None,
+) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
+    """One fused PPO iteration: rollout(horizon) -> GAE -> epochs of updates.
+
+    With `axis_name` set (inside shard_map/pmap over a device mesh), the env
+    batch is the local shard: gradients and statistics are psum'd over the
+    axis so every device applies identical updates (the TPU-native analog of
+    the all-reduce the reference never had; SURVEY.md section 2.3).
+    """
+    rng, roll_key, perm_key = jax.random.split(train_state.rng, 3)
+    if axis_name is not None:
+        # De-correlate per-device rollouts; keep permutation keys identical so
+        # update order stays in lockstep.
+        roll_key = jax.random.fold_in(roll_key, jax.lax.axis_index(axis_name))
+
+    env_states, traj, bootstrap, episodic = rollout(
+        model,
+        train_state.params,
+        env_states,
+        env_params,
+        roll_key,
+        config.horizon,
+        config.obs_fn,
+    )
+
+    gae_fn = gae.compute_gae_associative if config.use_associative_gae else gae.compute_gae
+    advantages = gae_fn(
+        traj.rewards,
+        traj.values,
+        bootstrap,
+        traj.dones,
+        config.discount_factor,
+        config.gae_lambda,
+    )
+    returns = advantages + traj.values  # (reference: train.py:176)
+    if config.normalize_advantage:
+        if axis_name is None:
+            advantages = gae.normalize_advantages(advantages)  # (train.py:177)
+        else:
+            # Global moments over all devices' shards.
+            n_local = jnp.float32(advantages.size)
+            n_tot = jax.lax.psum(n_local, axis_name)
+            mean = jax.lax.psum(advantages.sum(), axis_name) / n_tot
+            var = jax.lax.psum(((advantages - mean) ** 2).sum(), axis_name) / n_tot
+            advantages = (advantages - mean) / (jnp.sqrt(var) + 1e-8)
+
+    T, B = traj.rewards.shape
+    n = T * B
+    data = {
+        "obs": traj.obs.reshape(n, -1),
+        "actions": traj.actions.reshape(n, -1),
+        "log_probs": traj.log_probs.reshape(n),
+        "returns": returns.reshape(n),
+        "advantages": advantages.reshape(n),
+    }
+
+    tx = make_optimizer(config)
+
+    def minibatch_step(carry, idx):
+        params, opt_state = carry
+        batch = jax.tree.map(lambda x: x[idx], data)
+        (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+            params, model, batch, config
+        )
+        if axis_name is not None:
+            # Data-parallel all-reduce over ICI (replaces nothing in the
+            # reference - it is single-process; SURVEY.md section 2.3).
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), metrics
+
+    def epoch_step(carry, key):
+        perm = jax.random.permutation(key, n)
+        batches = perm.reshape(config.num_minibatches, -1)
+        return jax.lax.scan(minibatch_step, carry, batches)
+
+    epoch_keys = jax.random.split(perm_key, config.num_epochs)
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch_step, (train_state.params, train_state.opt_state), epoch_keys
+    )
+
+    # Episodic means over all updates of this iteration (the reference
+    # averages its tf.metrics.mean over an episode, ppo.py:149-163).
+    metrics = jax.tree.map(lambda x: x.mean(), metrics)
+    if axis_name is not None:
+        episodic = jax.tree.map(
+            lambda x: jax.lax.pmean(x, axis_name), episodic
+        )
+        episodic["train/episodes_finished"] = (
+            episodic["train/episodes_finished"] * jax.lax.axis_size(axis_name)
+        )
+    metrics.update(episodic)
+    lr = config.learning_rate * config.lr_decay ** train_state.iteration
+    metrics["train/learning_rate"] = lr
+
+    n_global = n if axis_name is None else n * jax.lax.axis_size(axis_name)
+    new_state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        iteration=train_state.iteration + 1,
+        train_step=train_state.train_step + config.updates_per_iteration,
+        total_env_steps=train_state.total_env_steps + jnp.float32(n_global),
+        episodes_done=train_state.episodes_done
+        + episodic["train/episodes_finished"].astype(jnp.int32),
+        rng=rng,
+    )
+    return new_state, env_states, metrics
+
+
+@partial(jax.jit, static_argnames=("model", "config"))
+def train_iteration(
+    train_state: TrainState,
+    env_states: EnvState,
+    env_params: EnvParams,
+    model: ActorCritic,
+    config: PPOConfig,
+) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
+    """Single-device fused PPO iteration (see train_iteration_core)."""
+    return train_iteration_core(
+        train_state, env_states, env_params, model, config, axis_name=None
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "obs_fn", "max_steps", "num_envs"))
+def evaluate(
+    params: Any,
+    env_params: EnvParams,
+    model: ActorCritic,
+    rng: Array,
+    num_envs: int = 1,
+    max_steps: int = 3000,
+    obs_fn: str = "vector",
+) -> Dict[str, Array]:
+    """Greedy evaluation episode(s) (reference: run_eval.py:30-73).
+
+    Resets with is_training=False (spawn at route start), acts with the action
+    mean (std=0), runs until done (masked after), returns the eval metric set
+    the reference logs (train.py:124-129).
+    """
+    keys = jax.random.split(rng, num_envs)
+    states = jax.vmap(
+        lambda k: lap_env.reset(env_params, k, is_training=False)
+    )(keys)
+    obs0 = jax.vmap(lambda s: lap_env.observe(s, env_params, obs_fn))(states)
+
+    def step_fn(carry, _):
+        states, obs, done, snap = carry
+        mean, _, _ = model.apply(params, obs)
+        next_states, out = jax.vmap(
+            lambda s, a: lap_env.step(s, a, env_params, obs_fn)
+        )(states, mean)
+        # Latch the first terminal snapshot per env.
+        newly = jnp.logical_and(out.done, jnp.logical_not(done))
+
+        def latch(old, new):
+            return jnp.where(newly, new, old)
+
+        snap = jax.tree.map(
+            latch,
+            snap,
+            {
+                "reward": out.total_reward,
+                "distance": out.distance_traveled,
+                "deviation": out.center_lane_deviation,
+                "speed_accum": out.speed_accum,
+                "laps": out.laps_completed,
+                "steps": out.step_count.astype(jnp.float32),
+            },
+        )
+        done = jnp.logical_or(done, out.done)
+        # Freeze finished envs.
+        states = jax.tree.map(
+            lambda old, new: jnp.where(
+                done.reshape((-1,) + (1,) * (new.ndim - 1)) if new.ndim > 1
+                else done,
+                old,
+                new,
+            ),
+            states,
+            next_states,
+        )
+        return (states, out.obs, done, snap), None
+
+    snap0 = {
+        "reward": jnp.zeros(num_envs),
+        "distance": jnp.zeros(num_envs),
+        "deviation": jnp.zeros(num_envs),
+        "speed_accum": jnp.zeros(num_envs),
+        "laps": jnp.zeros(num_envs),
+        "steps": jnp.zeros(num_envs),
+    }
+    (states, _, done, snap), _ = jax.lax.scan(
+        step_fn,
+        (states, obs0, jnp.zeros(num_envs, bool), snap0),
+        None,
+        length=max_steps,
+    )
+    # Envs that never finished: use their live accumulators.
+    snap = jax.tree.map(
+        lambda latched, live: jnp.where(done, latched, live),
+        snap,
+        {
+            "reward": states.total_reward,
+            "distance": states.distance_traveled,
+            "deviation": states.center_lane_deviation,
+            "speed_accum": states.speed_accum,
+            "laps": states.laps_completed,
+            "steps": states.step_count.astype(jnp.float32),
+        },
+    )
+    steps = jnp.maximum(snap["steps"], 1.0)
+    dev = jnp.maximum(snap["deviation"], 1e-6)
+    return {
+        "eval/reward": snap["reward"].mean(),
+        "eval/distance_traveled": snap["distance"].mean(),
+        "eval/average_speed": (3.6 * snap["speed_accum"] / steps).mean(),
+        "eval/center_lane_deviation": snap["deviation"].mean(),
+        "eval/average_center_lane_deviation": (snap["deviation"] / steps).mean(),
+        "eval/distance_over_deviation": (snap["distance"] / dev).mean(),
+        "eval/laps_completed": snap["laps"].mean(),
+        "eval/episode_steps": snap["steps"].mean(),
+        "eval/finished": done.astype(jnp.float32).mean(),
+    }
+
+
+def init_env_batch(env_params: EnvParams, num_envs: int, rng: Array) -> EnvState:
+    keys = jax.random.split(rng, num_envs)
+    return jax.vmap(lambda k: lap_env.reset(env_params, k))(keys)

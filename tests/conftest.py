@@ -7,7 +7,10 @@ Must run before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell env pins JAX_PLATFORMS=axon (the real TPU) and the axon
+# sitecustomize imports jax at interpreter start, so env edits alone are too
+# late - override through jax.config after import instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, (
+    "tests require the 8-device virtual CPU platform; got "
+    f"{jax.devices()}"
+)
 
 import pytest  # noqa: E402
 

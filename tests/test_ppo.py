@@ -1,0 +1,209 @@
+"""PPO tests: loss parity with a numpy re-derivation of the reference's TF1
+graph (reference: ppo.py:115-132), policy head behavior, and a fused
+train_iteration smoke + learning test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_ppo_tpu.models.policy import (
+    ActorCritic,
+    gaussian_entropy,
+    gaussian_log_prob,
+)
+from carla_ppo_tpu.training import ppo as ppo_mod
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ActorCritic()
+
+
+@pytest.fixture(scope="module")
+def variables(model):
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18)))
+
+
+def test_action_mean_within_bounds(model, variables):
+    obs = jax.random.normal(jax.random.PRNGKey(1), (64, 18)) * 5
+    mean, std, value = model.apply(variables, obs)
+    assert mean.shape == (64, 2)
+    assert value.shape == (64,)
+    # Steer in [-1, 1], throttle in [0, 1] (reference: ppo.py:47 rescaling).
+    assert float(mean[:, 0].min()) >= -1.0 and float(mean[:, 0].max()) <= 1.0
+    assert float(mean[:, 1].min()) >= 0.0 and float(mean[:, 1].max()) <= 1.0
+
+
+def test_initial_std(model, variables):
+    _, std, _ = model.apply(variables, jnp.zeros((1, 18)))
+    np.testing.assert_allclose(np.asarray(std), 1.0, rtol=1e-6)
+
+
+def test_sample_clipped_and_logprob(model, variables):
+    obs = jnp.zeros((256, 18))
+    action, logp, value = model.sample(
+        variables, obs, jax.random.PRNGKey(2)
+    )
+    assert float(action[:, 0].min()) >= -1.0
+    assert float(action[:, 1].min()) >= 0.0
+    mean, std, _ = model.apply(variables, obs)
+    want = gaussian_log_prob(action, mean, std)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), rtol=1e-5)
+
+
+def test_greedy_sample_is_mean(model, variables):
+    obs = jax.random.normal(jax.random.PRNGKey(3), (8, 18))
+    a, _, _ = model.sample(variables, obs, jax.random.PRNGKey(4), greedy=True)
+    mean, _, _ = model.apply(variables, obs)
+    low = jnp.array([-1.0, 0.0])
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(jnp.clip(mean, low, 1.0)), rtol=1e-6
+    )
+
+
+def test_gaussian_log_prob_matches_scipy():
+    from scipy.stats import norm
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 2)).astype(np.float32)
+    mean = rng.normal(size=(16, 2)).astype(np.float32)
+    std = np.exp(rng.normal(size=2)).astype(np.float32)
+    got = np.asarray(gaussian_log_prob(jnp.asarray(x), jnp.asarray(mean), jnp.asarray(std)))
+    want = norm.logpdf(x, mean, std).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_gaussian_entropy_matches_scipy():
+    from scipy.stats import norm
+
+    std = np.array([0.5, 2.0], np.float32)
+    got = float(gaussian_entropy(jnp.asarray(std)))
+    want = norm.entropy(0.0, std).sum()
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def numpy_ppo_loss(logp, logp_old, adv, value, returns, std, eps, vs, es):
+    """The reference's loss math (ppo.py:119-132)."""
+    ratio = np.exp(logp - logp_old)
+    policy_loss = np.mean(np.minimum(ratio * adv, np.clip(ratio, 1 - eps, 1 + eps) * adv))
+    value_loss = np.mean((value - returns) ** 2) * vs
+    entropy = np.sum(0.5 * np.log(2 * np.pi * np.e * std**2))
+    entropy_loss = entropy * es
+    return -policy_loss + value_loss - entropy_loss
+
+
+def test_ppo_loss_parity(model, variables):
+    """ppo_loss on a random batch must equal the numpy re-derivation."""
+    config = ppo_mod.PPOConfig()
+    rng = np.random.default_rng(1)
+    n = 64
+    obs = rng.normal(size=(n, 18)).astype(np.float32)
+    mean, std, value = model.apply(variables, jnp.asarray(obs))
+    actions = np.clip(
+        np.asarray(mean) + np.asarray(std) * rng.normal(size=(n, 2)),
+        [-1, 0], [1, 1],
+    ).astype(np.float32)
+    logp = np.asarray(
+        gaussian_log_prob(jnp.asarray(actions), mean, std)
+    )
+    logp_old = logp + rng.normal(scale=0.1, size=n).astype(np.float32)
+    adv = rng.normal(size=n).astype(np.float32)
+    returns = rng.normal(size=n).astype(np.float32)
+
+    batch = {
+        "obs": jnp.asarray(obs),
+        "actions": jnp.asarray(actions),
+        "log_probs": jnp.asarray(logp_old),
+        "returns": jnp.asarray(returns),
+        "advantages": jnp.asarray(adv),
+    }
+    loss, metrics = ppo_mod.ppo_loss(variables, model, batch, config)
+    want = numpy_ppo_loss(
+        logp, logp_old, adv, np.asarray(value), returns, np.asarray(std),
+        config.ppo_epsilon, config.value_scale, config.entropy_scale,
+    )
+    assert float(loss) == pytest.approx(want, rel=1e-4)
+    assert float(metrics["train/prob_ratio"]) == pytest.approx(
+        float(np.mean(np.exp(logp - logp_old))), rel=1e-4
+    )
+
+
+@pytest.fixture(scope="module")
+def small_config():
+    return ppo_mod.PPOConfig(horizon=16, num_envs=8, num_minibatches=2)
+
+
+def test_train_iteration_smoke(lap_params, model, small_config):
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    rng = jax.random.PRNGKey(0)
+    ts = ppo_mod.create_train_state(model, small_config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, small_config.num_envs, rng)
+
+    ts2, envs2, metrics = ppo_mod.train_iteration(
+        ts, envs, lap_params, model, small_config
+    )
+    assert int(ts2.iteration) == 1
+    assert int(ts2.train_step) == small_config.updates_per_iteration
+    assert float(ts2.total_env_steps) == 16 * 8
+    for k, v in metrics.items():
+        assert bool(jnp.isfinite(v)), f"metric {k} not finite"
+    # Params actually moved.
+    diff = jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.abs(x).sum()),
+        jax.tree.map(lambda a, b: a - b, ts.params, ts2.params),
+        0.0,
+    )
+    assert diff > 0
+
+
+def test_train_iteration_deterministic(lap_params, model, small_config):
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    rng = jax.random.PRNGKey(7)
+    ts = ppo_mod.create_train_state(model, small_config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, small_config.num_envs, rng)
+    _, _, m1 = ppo_mod.train_iteration(ts, envs, lap_params, model, small_config)
+    _, _, m2 = ppo_mod.train_iteration(ts, envs, lap_params, model, small_config)
+    assert float(m1["train_loss/loss"]) == float(m2["train_loss/loss"])
+
+
+def test_evaluate_runs(lap_params, model, variables):
+    metrics = ppo_mod.evaluate(
+        variables, lap_params, model, jax.random.PRNGKey(0), num_envs=2,
+        max_steps=200,
+    )
+    for k, v in metrics.items():
+        assert bool(jnp.isfinite(v)), k
+    # An untrained policy at spawn can't finish a 3-lap episode in 200 steps
+    # unless it terminates (stopped/off-track) - either way steps <= 200.
+    assert float(metrics["eval/episode_steps"]) <= 200
+
+
+@pytest.mark.slow
+def test_learning_improves_reward(lap_params, model):
+    """A short CPU training run must beat the random policy's episodic
+    reward - the round-1 'does PPO learn at all' check."""
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    config = ppo_mod.PPOConfig(
+        horizon=64, num_envs=32, num_minibatches=2, learning_rate=3e-4
+    )
+    rng = jax.random.PRNGKey(0)
+    ts = ppo_mod.create_train_state(model, config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, config.num_envs, rng)
+
+    first_rewards, last_rewards = [], []
+    for i in range(30):
+        ts, envs, metrics = ppo_mod.train_iteration(
+            ts, envs, lap_params, model, config
+        )
+        mean_r = float(metrics["train_loss/loss"])  # ensure finite chain
+        assert np.isfinite(mean_r)
+        r = float(metrics["train/reward"])
+        if i < 5:
+            first_rewards.append(r)
+        if i >= 25:
+            last_rewards.append(r)
+    assert np.mean(last_rewards) > np.mean(first_rewards)

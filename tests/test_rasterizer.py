@@ -1,0 +1,125 @@
+"""Rasterizer tests: geometry of the pinhole ground projection and class
+structure of rendered frames (the on-device CARLA seg camera)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_ppo_tpu.envs import lap_env, track as track_mod
+from carla_ppo_tpu.envs.types import EnvParams, SegClass
+from carla_ppo_tpu.ops import rasterizer as R
+
+
+@pytest.fixture(scope="module")
+def straight_params():
+    # Long straight road along +x starting at the origin.
+    t = track_mod.make_segment_track([track_mod.Straight(400.0)])
+    return EnvParams(track=t)
+
+
+@pytest.fixture(scope="module")
+def straight_frame(straight_params):
+    s = lap_env.reset(straight_params, jax.random.PRNGKey(0))
+    return np.asarray(R.render_semantic(s, straight_params))
+
+
+def test_frame_shape_and_dtype(straight_frame):
+    assert straight_frame.shape == (80, 160)
+    assert straight_frame.dtype == np.int32
+
+
+def test_sky_above_horizon(straight_frame):
+    # Pitch 0 -> horizon at the vertical center; everything above is NONE.
+    assert (straight_frame[:39] == int(SegClass.NONE)).all()
+    assert not (straight_frame[45:] == int(SegClass.NONE)).any()
+
+
+def test_road_ahead_center(straight_frame):
+    # The camera sits on the lane center looking down a straight road:
+    # bottom-center pixels must be road or the dashed center line.
+    bottom_center = straight_frame[60:, 70:90]
+    ok = np.isin(
+        bottom_center, [int(SegClass.ROADS), int(SegClass.ROADLINES)]
+    )
+    assert ok.mean() > 0.95
+
+
+def test_left_right_symmetry(straight_frame):
+    """On a straight road the frame must be (nearly) mirror-symmetric."""
+    left = straight_frame[40:, :80]
+    right = straight_frame[40:, 80:][:, ::-1]
+    assert (left == right).mean() > 0.9
+
+
+def test_class_bands_in_order(straight_frame):
+    """Scanning outward from center on a low row: road -> line -> sidewalk ->
+    vegetation (the road corridor structure)."""
+    row = straight_frame[70]
+    # Distances from image center to first occurrence of each class.
+    def first_from_center(cls):
+        hits = np.where(row[80:] == cls)[0]
+        return hits[0] if len(hits) else 10_000
+
+    d_road = 0  # center is road
+    d_line = first_from_center(int(SegClass.ROADLINES))
+    d_side = first_from_center(int(SegClass.SIDEWALKS))
+    d_veg = first_from_center(int(SegClass.VEGETATION))
+    assert row[80] in (int(SegClass.ROADS), int(SegClass.ROADLINES))
+    assert d_line < d_side < d_veg
+
+
+def test_turn_breaks_symmetry(straight_params):
+    """Looking into a turn, the road mass shifts toward the turn side."""
+    t = track_mod.make_segment_track(
+        [track_mod.Straight(10.0), track_mod.Arc(90.0, 25.0)]
+    )
+    params = EnvParams(track=t)
+    s = lap_env.reset(params, jax.random.PRNGKey(0))
+    img = np.asarray(R.render_semantic(s, params))
+    road = img == int(SegClass.ROADS)
+    upper_rows = road[40:60]  # distant rows see the curve
+    left_mass = upper_rows[:, :80].sum()
+    right_mass = upper_rows[:, 80:].sum()
+    assert left_mass > right_mass  # left turn -> more road on the left
+
+
+def test_ground_points_geometry():
+    cam = R.CameraConfig()
+    pos = jnp.array([0.0, 0.0])
+    pts, sky, t = R.ground_points(pos, jnp.float32(0.0), cam)
+    pts = np.asarray(pts).reshape(80, 160, 2)
+    sky = np.asarray(sky).reshape(80, 160)
+    # Bottom-center pixel: directly ahead, ~camera_fwd + h*f/(v-cy) meters.
+    v = 79.5
+    depth = cam.mount_height * cam.focal / (v - 40.0)
+    np.testing.assert_allclose(
+        pts[79, 80][0], cam.mount_forward + depth, rtol=0.05
+    )
+    assert abs(pts[79, 80][1]) < 0.1
+    # Rays above the horizon are sky.
+    assert sky[:40].all() and not sky[41:].any()
+
+
+def test_seg_to_obs_range(straight_frame):
+    obs = np.asarray(R.seg_to_obs(jnp.asarray(straight_frame)))
+    assert obs.shape == (80, 160, 1)
+    assert obs.min() >= 0.0 and obs.max() <= 1.0
+
+
+def test_seg_to_rgb_palette():
+    cls = jnp.asarray([[7, 0], [9, 6]], jnp.int32)
+    rgb = np.asarray(R.seg_to_rgb(cls))
+    np.testing.assert_allclose(rgb[0, 0], [128 / 255, 64 / 255, 128 / 255], atol=1e-6)
+    np.testing.assert_allclose(rgb[0, 1], [0, 0, 0], atol=1e-6)
+
+
+def test_render_batch(lap_params):
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states = jax.vmap(lambda k: lap_env.reset(lap_params, k))(keys)
+    frames = R.render_batch(states, lap_params)
+    assert frames.shape == (B, 80, 160)
+    frames = np.asarray(frames)
+    # Every frame sees road somewhere below the horizon.
+    assert all((f == int(SegClass.ROADS)).sum() > 100 for f in frames)
