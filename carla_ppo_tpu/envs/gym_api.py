@@ -145,6 +145,20 @@ class CarlaLapEnv:
             pitch_deg=-15.0,
         )
 
+        self._bind_jits()
+        self.reset()
+
+    # -- construction hooks the route env overrides --
+
+    def _make_params(self, track_seed, fps, action_smoothing, reward_name):
+        return EnvParams(
+            track=track_mod.make_lap_track(seed=track_seed),
+            dt=jnp.float32(1.0 / fps),
+            action_smoothing=jnp.float32(action_smoothing),
+            reward_fn=reward_name,
+        )
+
+    def _bind_jits(self):
         self._jit_step = jax.jit(
             lambda s, a: lap_env.step(s, a, self.params, obs_fn="vector")
         )
@@ -160,18 +174,6 @@ class CarlaLapEnv:
             lambda s: raster.seg_to_rgb(
                 raster.render_semantic(s, self.params, self._spec_cam)
             )
-        )
-
-        self.reset()
-
-    # -- construction hooks the route env overrides --
-
-    def _make_params(self, track_seed, fps, action_smoothing, reward_name):
-        return EnvParams(
-            track=track_mod.make_lap_track(seed=track_seed),
-            dt=jnp.float32(1.0 / fps),
-            action_smoothing=jnp.float32(action_smoothing),
-            reward_fn=reward_name,
         )
 
     # -- gym-ish API --
@@ -310,6 +312,78 @@ class CarlaLapEnv:
             pygame.quit()
             self.display = None
         self.closed = True
+
+
+class CarlaRouteEnv(CarlaLapEnv):
+    """Interactive random-route env (reference: carla_route_env.py:20-498).
+
+    Same surface as CarlaLapEnv; episodes run random A->B routes chained until
+    3000 m total. `reset(is_training)` always starts a fresh random route (the
+    reference ignores checkpoints here too)."""
+
+    def __init__(self, *args, num_routes: int = 64, max_distance: float = 3000.0,
+                 **kwargs):
+        self._num_routes = num_routes
+        self._max_distance = max_distance
+        super().__init__(*args, **kwargs)
+
+    def _make_params(self, track_seed, fps, action_smoothing, reward_name):
+        from carla_ppo_tpu.envs import route_env, route_planner
+
+        town = route_planner.make_town(seed=track_seed)
+        bank = route_planner.make_route_bank(
+            town, n_routes=self._num_routes, seed=track_seed
+        )
+        self._bank = bank
+        return route_env.route_env_params(
+            bank,
+            max_distance=self._max_distance,
+            dt=jnp.float32(1.0 / fps),
+            action_smoothing=jnp.float32(action_smoothing),
+            reward_fn=reward_name,
+        )
+
+    def _bind_jits(self):
+        from carla_ppo_tpu.envs import route_env
+
+        self._jit_step = jax.jit(
+            lambda s, a: route_env.step(s, a, self.params, obs_fn="vector")
+        )
+        self._jit_reset = jax.jit(
+            lambda key, is_training, ckpt: route_env.reset(
+                self.params, key, is_training
+            )
+        )
+        self._jit_dash = jax.jit(
+            lambda s: raster.render_semantic(
+                s,
+                self.params.replace(
+                    track=jax.tree.map(lambda x: x[s.route_id], self.params.track)
+                ),
+                self._dash_cam,
+            )
+        )
+        self._jit_spec = jax.jit(
+            lambda s: raster.seg_to_rgb(
+                raster.render_semantic(
+                    s,
+                    self.params.replace(
+                        track=jax.tree.map(
+                            lambda x: x[s.route_id], self.params.track
+                        )
+                    ),
+                    self._spec_cam,
+                )
+            )
+        )
+
+    def _current_maneuver(self) -> int:
+        rid = int(self.state.route_id)
+        idx = min(
+            int(self.state.waypoint_idx),
+            int(self.params.track.length[rid]) - 1,
+        )
+        return int(self.params.track.maneuver[rid, idx])
 
 
 def keyboard_control_loop(env) -> None:

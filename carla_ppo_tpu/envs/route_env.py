@@ -1,0 +1,148 @@
+"""Random-route navigation environment (functional core).
+
+Re-designs reference: CarlaEnv/carla_route_env.py for TPU. Differences from
+the lap env (mirroring the reference's deltas):
+
+- every reset draws a fresh random route; completing a route immediately
+  chains into a new one inside step (reference: carla_route_env.py:301-302);
+- terminal when total distance_traveled reaches 3000 m
+  (reference: carla_route_env.py:143, 381-383);
+- `routes_completed` = num_routes + fractional progress is the headline
+  metric (reference: carla_route_env.py:366), carried in the
+  `laps_completed` accumulator slot;
+- no lap counting, no respawn checkpoints.
+
+The reference computes each route with a live A* call against the CARLA map
+(carla_route_env.py:221-222) - host-side, between episodes. Here routes come
+from a precomputed bank (envs/route_planner.make_route_bank) stacked as one
+TrackData with a leading route axis, so "new random route" is a single
+on-device gather and the whole thing stays inside the jitted step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from carla_ppo_tpu.envs import lap_env
+from carla_ppo_tpu.envs.lap_env import StepOutput
+from carla_ppo_tpu.envs.types import EnvParams, EnvState, TrackData, VehicleState, default_env_state
+
+
+def route_track(bank: TrackData, route_id: Array) -> TrackData:
+    """Slice one route out of the bank (dynamic gather on the leading axis)."""
+    return jax.tree.map(lambda x: x[route_id], bank)
+
+
+def route_env_params(
+    bank: TrackData,
+    max_distance: float = 3000.0,
+    **overrides,
+) -> EnvParams:
+    """EnvParams for the route env; `track` holds the BANK (leading route
+    axis) - step/reset slice it per env."""
+    defaults = dict(
+        max_distance_traveled=jnp.float32(max_distance),
+        max_laps=jnp.float32(jnp.inf),  # no lap terminal on open routes
+    )
+    defaults.update(overrides)
+    return EnvParams(track=bank, **defaults)
+
+
+def _num_routes(bank: TrackData) -> int:
+    return bank.pos.shape[0]
+
+
+def _spawn_on_route(
+    state: EnvState, bank: TrackData, route_id: Array
+) -> EnvState:
+    track = route_track(bank, route_id)
+    pos = track.pos[0]
+    fwd = track.fwd[0]
+    yaw = jnp.arctan2(fwd[1], fwd[0])
+    return state.replace(
+        vehicle=VehicleState.create(pos, yaw),
+        control=jnp.zeros((2,), jnp.float32),
+        waypoint_idx=jnp.int32(0),
+        start_waypoint_idx=jnp.int32(0),
+        route_id=route_id,
+        prev_pos=pos,
+    )
+
+
+def reset(
+    params: EnvParams, rng: Array, is_training: Array | bool = True
+) -> EnvState:
+    """Fresh episode on a random route (reference: carla_route_env.py:189-240;
+    note its reset leaves metrics zeroed and new_route picks random spawns)."""
+    bank = params.track
+    rng, k_route = jax.random.split(rng)
+    route_id = jax.random.randint(k_route, (), 0, _num_routes(bank))
+    state = default_env_state(route_track(bank, route_id), rng)
+    state = state.replace(is_training=jnp.asarray(is_training, jnp.bool_))
+    state = _spawn_on_route(state, bank, route_id)
+    return lap_env._with_derived(state, params.replace(track=route_track(bank, route_id)))
+
+
+@partial(jax.jit, static_argnames=("obs_fn",))
+def step(
+    state: EnvState,
+    action: Array,
+    params: EnvParams,
+    obs_fn: str = "vector",
+) -> Tuple[EnvState, StepOutput]:
+    """One tick; chains a new random route when the current one is finished
+    (reference: carla_route_env.py:300-302)."""
+    bank = params.track
+
+    track_now = route_track(bank, state.route_id)
+    route_done = state.waypoint_idx >= track_now.length - 1
+
+    rng, k_route = jax.random.split(state.rng)
+    new_route_id = jax.random.randint(k_route, (), 0, _num_routes(bank))
+    switched = _spawn_on_route(state, bank, new_route_id).replace(
+        num_routes_completed=state.num_routes_completed + 1
+    )
+    state = jax.tree.map(
+        lambda new, old: jnp.where(route_done, new, old), switched, state
+    ).replace(rng=rng)
+
+    per_env_params = params.replace(track=route_track(bank, state.route_id))
+    next_state, out = lap_env.step(state, action, per_env_params, obs_fn=obs_fn)
+
+    # routes_completed metric (reference: carla_route_env.py:366).
+    track = route_track(bank, next_state.route_id)
+    routes_completed = (
+        next_state.num_routes_completed.astype(jnp.float32)
+        + (next_state.waypoint_idx.astype(jnp.float32) + 1.0)
+        / track.length.astype(jnp.float32)
+    )
+    next_state = next_state.replace(laps_completed=routes_completed)
+    out = out.replace(laps_completed=routes_completed)
+    return next_state, out
+
+
+def autoreset_step(
+    state: EnvState,
+    action: Array,
+    params: EnvParams,
+    obs_fn: str = "vector",
+) -> Tuple[EnvState, StepOutput]:
+    """Step with branchless episode auto-reset (terminal -> fresh episode)."""
+    rng, reset_rng = jax.random.split(state.rng)
+    fresh = reset(params, reset_rng, is_training=state.is_training)
+    base = jax.tree.map(
+        lambda a, b: jnp.where(state.terminal, a, b),
+        fresh,
+        state.replace(rng=rng),
+    )
+    return step(base, action, params, obs_fn=obs_fn)
+
+
+def observe(state: EnvState, params: EnvParams, obs_fn: str = "vector") -> Array:
+    per_env = params.replace(track=route_track(params.track, state.route_id))
+    return lap_env.observe(state, per_env, obs_fn=obs_fn)

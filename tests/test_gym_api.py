@@ -1,0 +1,99 @@
+"""Gym-style parity-class tests (headless pygame)."""
+
+import os
+
+os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+
+import numpy as np
+import pytest
+
+from carla_ppo_tpu.envs.gym_api import CarlaLapEnv, CarlaRouteEnv
+
+
+@pytest.fixture(scope="module")
+def env():
+    e = CarlaLapEnv(obs_res=(160, 80), encode_state_fn="vector")
+    yield e
+    e.close()
+
+
+def test_reset_returns_obs(env):
+    obs = env.reset()
+    assert obs.shape == (18,)
+
+
+def test_step_api(env):
+    env.reset()
+    obs, reward, done, info = env.step(np.array([0.1, 0.8]))
+    assert obs.shape == (18,)
+    assert isinstance(reward, float)
+    assert isinstance(done, bool)
+    assert info == {"closed": False}
+
+
+def test_step_none_ticks_without_acting(env):
+    env.reset()
+    env.step(np.array([0.5, 0.5]))
+    control = np.asarray(env.state.control)
+    env.step(None)
+    np.testing.assert_allclose(np.asarray(env.state.control), control)
+
+
+def test_action_smoothing_default(env):
+    # Default ctor smoothing is 0.9 like the reference (carla_lap_env.py:51).
+    env.reset()
+    env.step(np.array([1.0, 1.0]))
+    assert abs(float(env.state.control[0]) - 0.1) < 1e-5
+
+
+def test_raw_pixel_obs_mode():
+    e = CarlaLapEnv(obs_res=(160, 80), encode_state_fn=None)
+    try:
+        obs = e.reset()
+        # Raw camera frame, (H, W, 1) in [0,1] - the fixed obs shape.
+        assert obs.shape == (80, 160, 1)
+        assert 0.0 <= obs.min() and obs.max() <= 1.0
+    finally:
+        e.close()
+
+
+def test_render_modes(env):
+    env.reset()
+    env.step(np.array([0.0, 0.5]))
+    arr = env.render("rgb_array")
+    assert arr.shape == (720, 1280, 3)
+    no_hud = env.render("rgb_array_no_hud")
+    assert no_hud.shape[2] == 3
+    px = env.render("state_pixels")
+    assert px.shape == (80, 160, 1)
+
+
+def test_custom_encoder(env):
+    e = CarlaLapEnv(
+        obs_res=(160, 80),
+        encode_state_fn=lambda env: np.array([float(env.state.vehicle.speed)]),
+    )
+    try:
+        obs = e.reset()
+        assert obs.shape == (1,)
+    finally:
+        e.close()
+
+
+@pytest.fixture(scope="module")
+def route_env_obj():
+    e = CarlaRouteEnv(
+        obs_res=(160, 80), encode_state_fn="vector", num_routes=4
+    )
+    yield e
+    e.close()
+
+
+def test_route_env_api(route_env_obj):
+    obs = route_env_obj.reset()
+    assert obs.shape == (18,)
+    for _ in range(5):
+        obs, reward, done, info = route_env_obj.step(np.array([0.0, 1.0]))
+    assert np.isfinite(obs).all()
+    arr = route_env_obj.render("rgb_array")
+    assert arr.shape == (720, 1280, 3)

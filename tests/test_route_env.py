@@ -1,0 +1,134 @@
+"""Route planner + route env tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_ppo_tpu.envs import route_env, route_planner
+from carla_ppo_tpu.envs.types import RoadOption, TerminationReason
+
+
+@pytest.fixture(scope="module")
+def town():
+    return route_planner.make_town(seed=0)
+
+
+@pytest.fixture(scope="module")
+def bank(town):
+    return route_planner.make_route_bank(town, n_routes=8, capacity=1024, seed=0)
+
+
+@pytest.fixture(scope="module")
+def rparams(bank):
+    return route_env.route_env_params(bank)
+
+
+def test_town_connected(town):
+    import networkx as nx
+
+    g = town.to_networkx()
+    assert nx.is_connected(g)
+    assert len(town.nodes) == 25
+
+
+def test_route_waypoints_resolution(town):
+    pos, fwd, man = route_planner.compute_route_waypoints(town, 0, 24)
+    seg = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+    np.testing.assert_allclose(seg, 1.0, atol=0.05)
+    np.testing.assert_allclose(np.linalg.norm(fwd, axis=1), 1.0, atol=1e-4)
+    # A cross-town route passes junctions: must contain turn maneuvers.
+    assert set(man.tolist()) - {int(RoadOption.LANEFOLLOW)}
+
+
+def test_route_is_shortest_ish(town):
+    """A* route length is at least the straight-line distance and not
+    absurdly longer."""
+    pos, _, _ = route_planner.compute_route_waypoints(town, 0, 24)
+    direct = np.linalg.norm(town.nodes[24] - town.nodes[0])
+    assert direct <= len(pos) <= 2.5 * direct
+
+
+def test_bank_shapes(bank):
+    assert bank.pos.shape == (8, 1024, 2)
+    assert bank.length.shape == (8,)
+    assert int(bank.length.min()) >= 150
+    assert not bool(bank.is_loop.any())
+
+
+def test_reset_random_route(rparams):
+    s0 = route_env.reset(rparams, jax.random.PRNGKey(0))
+    s1 = route_env.reset(rparams, jax.random.PRNGKey(99))
+    assert float(s0.distance_from_center) < 0.2
+    # Different keys eventually give different routes.
+    ids = {
+        int(route_env.reset(rparams, jax.random.PRNGKey(k)).route_id)
+        for k in range(10)
+    }
+    assert len(ids) > 1
+
+
+def test_step_advances(rparams):
+    s = route_env.reset(rparams, jax.random.PRNGKey(1))
+
+    def body(s, _):
+        obs = route_env.observe(s, rparams)
+        steer = jnp.clip(-0.5 * obs[0] + 2.0 * obs[6] + 1.0 * obs[8], -1, 1)
+        throttle = jnp.where(3.6 * s.vehicle.speed < 19.0, 1.0, 0.1)
+        s, out = route_env.step(s, jnp.stack([steer, throttle]), rparams)
+        return s, out
+
+    s, outs = jax.lax.scan(body, s, None, length=300)
+    assert int(s.waypoint_idx) > 20
+    assert float(s.distance_from_center) < 1.5
+    assert not bool(s.terminal)
+    # routes_completed is fractional progress on route 1 of 1+.
+    assert 0.0 < float(s.laps_completed) < 2.0
+
+
+def test_route_chaining(rparams, bank):
+    """Reaching the end of a route must teleport onto a fresh one and bump
+    num_routes_completed (reference: carla_route_env.py:300-302)."""
+    s = route_env.reset(rparams, jax.random.PRNGKey(2))
+    rid = int(s.route_id)
+    end_idx = int(bank.length[rid]) - 1
+    s = s.replace(waypoint_idx=jnp.int32(end_idx))
+    s2, out = route_env.step(s, jnp.array([0.0, 0.5]), rparams)
+    assert int(s2.num_routes_completed) == 1
+    assert int(s2.waypoint_idx) < 10
+    # Vehicle teleported to the new route's start.
+    new_track = route_env.route_track(bank, s2.route_id)
+    assert float(jnp.linalg.norm(s2.vehicle.pos - new_track.pos[0])) < 2.0
+    # Metrics persist across route chaining (same episode).
+    assert float(s2.distance_traveled) >= float(s.distance_traveled)
+
+
+def test_max_distance_terminates(rparams):
+    s = route_env.reset(rparams, jax.random.PRNGKey(3))
+    s = s.replace(
+        distance_traveled=jnp.float32(2999.8),
+        vehicle=s.vehicle.replace(vx=jnp.float32(8.0)),
+    )
+    s2, out = route_env.step(s, jnp.array([0.0, 1.0]), rparams)
+    assert bool(out.done)
+    assert int(s2.termination_reason) == TerminationReason.MAX_DISTANCE
+
+
+def test_autoreset(rparams):
+    s = route_env.reset(rparams, jax.random.PRNGKey(4))
+    s = s.replace(terminal=jnp.bool_(True), distance_traveled=jnp.float32(500.0))
+    s2, out = route_env.autoreset_step(s, jnp.array([0.0, 1.0]), rparams)
+    assert float(s2.distance_traveled) < 1.0
+    assert int(s2.step_count) == 1
+
+
+def test_vmap_batch(rparams):
+    B = 16
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    states = jax.vmap(lambda k: route_env.reset(rparams, k))(keys)
+    actions = jnp.tile(jnp.array([0.0, 1.0]), (B, 1))
+    states, outs = jax.vmap(
+        lambda s, a: route_env.autoreset_step(s, a, rparams)
+    )(states, actions)
+    assert outs.obs.shape == (B, 18)
+    assert bool(jnp.all(jnp.isfinite(outs.obs)))
