@@ -1,0 +1,69 @@
+"""Evaluate a trained agent, optionally recording video (CLI).
+
+Parity with reference: run_eval.py:75-141 - loads the latest checkpoint of a
+named model, runs greedy episodes through the interactive env, writes an .avi.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+from carla_ppo_tpu.training import ppo
+from carla_ppo_tpu.training.eval_host import run_eval
+from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Runs a trained agent (greedy)")
+    parser.add_argument("--model_name", type=str, required=True,
+                        help="Name of the model to run (under models/)")
+    parser.add_argument("--env", type=str, default="lap", choices=["lap", "route"])
+    parser.add_argument("--num_envs", type=int, default=16,
+                        help="Vectorized eval envs for the metric pass")
+    parser.add_argument("--episodes", type=int, default=1,
+                        help="Video episodes to record")
+    parser.add_argument("--no_video", action="store_true")
+    parser.add_argument("--max_steps", type=int, default=3000)
+    parser.add_argument("--vae_model", type=str, default=None)
+    parser.add_argument("--track_seed", type=int, default=0)
+    parser.add_argument("--reward_fn", type=str,
+                        default="reward_speed_centering_angle_multiply")
+    parser.add_argument("--seed", type=int, default=0)
+    params = parser.parse_args(argv)
+
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+
+    settings = TrainerSettings(
+        model_name=params.model_name,
+        track_seed=params.track_seed,
+        reward_fn=params.reward_fn,
+        vae_model=params.vae_model,
+        seed=params.seed,
+        eval_envs=params.num_envs,
+    )
+    config = ppo.PPOConfig(env_kind=params.env, num_envs=params.num_envs)
+    trainer = Trainer(settings, config)  # restores the latest checkpoint
+
+    if trainer.checkpointer.latest_step() is None:
+        print(f"No checkpoint found under models/{params.model_name}/checkpoints")
+        sys.exit(1)
+
+    metrics = trainer.evaluate()
+    print("Vectorized greedy eval:")
+    for k, v in sorted(metrics.items()):
+        print(f"  {k}: {v:.3f}")
+
+    if not params.no_video:
+        for ep in range(params.episodes):
+            video = os.path.join(trainer.video_dir, f"eval{ep}.avi")
+            reward = trainer.record_eval_video(video, max_steps=params.max_steps)
+            print(f"episode {ep}: reward={reward:.2f} video={video}")
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

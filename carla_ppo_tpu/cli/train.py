@@ -1,0 +1,129 @@
+"""Train a PPO driving agent (CLI).
+
+Parity with reference: train.py:218-276 - same flags, same defaults, plus the
+TPU-native knobs the reference cannot have (env batch size, env kind, device
+count). `--num_episodes` maps to training iterations (one iteration = one
+fused rollout+update across the whole env batch).
+
+Examples:
+  python -m carla_ppo_tpu.cli.train --model_name lap_v0 --num_episodes 200
+  python -m carla_ppo_tpu.cli.train --model_name route_v0 --env route
+  python -m carla_ppo_tpu.cli.train --model_name lap_latent \\
+      --vae_model models/vae/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from carla_ppo_tpu.training import ppo
+from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Trains a driving agent with PPO on the on-device simulator"
+    )
+    # PPO hyper parameters (reference: train.py:224-235).
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--lr_decay", type=float, default=1.0,
+                        help="Per-iteration exponential learning rate decay")
+    parser.add_argument("--discount_factor", type=float, default=0.99)
+    parser.add_argument("--gae_lambda", type=float, default=0.95)
+    parser.add_argument("--ppo_epsilon", type=float, default=0.2)
+    parser.add_argument("--initial_std", type=float, default=1.0)
+    parser.add_argument("--value_scale", type=float, default=1.0)
+    parser.add_argument("--entropy_scale", type=float, default=0.01)
+    parser.add_argument("--horizon", type=int, default=128)
+    parser.add_argument("--num_epochs", type=int, default=3)
+    parser.add_argument("--num_minibatches", type=int, default=4,
+                        help="Minibatches per epoch (the batch-size analog)")
+    parser.add_argument("--num_episodes", type=int, default=0,
+                        help="Training iterations; <= 0 trains forever")
+
+    # VAE parameters (reference: train.py:238-242).
+    parser.add_argument("--vae_model", type=str, default=None,
+                        help="Trained VAE model dir for latent observations")
+    parser.add_argument("--vae_model_type", type=str, default=None)
+    parser.add_argument("--vae_z_dim", type=int, default=None)
+    parser.add_argument("--vae_source", type=str, default="seg",
+                        choices=["seg", "rgb"])
+
+    # Environment settings (reference: train.py:245-248).
+    parser.add_argument("--env", type=str, default="lap", choices=["lap", "route"])
+    parser.add_argument("--num_envs", type=int, default=1024)
+    parser.add_argument("--synchronous", type=int, default=True,
+                        help="Accepted for parity; the simulator is always synchronous")
+    parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--action_smoothing", type=float, default=0.0)
+    parser.add_argument("--track_seed", type=int, default=0)
+    parser.add_argument("-start_carla", action="store_true",
+                        help="Accepted for parity; there is no server to start")
+
+    # Training parameters (reference: train.py:251-264).
+    parser.add_argument("--model_name", type=str, required=True)
+    parser.add_argument("--reward_fn", type=str,
+                        default="reward_speed_centering_angle_multiply")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval_interval", type=int, default=5)
+    parser.add_argument("--record_eval", type=lambda v: bool(int(v)), default=False,
+                        help="Record greedy-eval videos to models/<name>/videos")
+    parser.add_argument("-restart", action="store_true",
+                        help="Delete existing model dir before training")
+    return parser
+
+
+def main(argv=None) -> None:
+    params = vars(build_parser().parse_args(argv))
+    restart = params.pop("restart")
+    params.pop("start_carla", None)
+    params.pop("synchronous", None)
+
+    print("Training parameters:")
+    for k, v in params.items():
+        print(f"  {k}: {v}")
+
+    config = ppo.PPOConfig(
+        learning_rate=params["learning_rate"],
+        lr_decay=params["lr_decay"],
+        discount_factor=params["discount_factor"],
+        gae_lambda=params["gae_lambda"],
+        ppo_epsilon=params["ppo_epsilon"],
+        initial_std=params["initial_std"],
+        value_scale=params["value_scale"],
+        entropy_scale=params["entropy_scale"],
+        horizon=params["horizon"],
+        num_epochs=params["num_epochs"],
+        num_envs=params["num_envs"],
+        num_minibatches=params["num_minibatches"],
+        env_kind=params["env"],
+    )
+    settings = TrainerSettings(
+        model_name=params["model_name"],
+        num_iterations=params["num_episodes"],
+        eval_interval=params["eval_interval"],
+        record_eval=params["record_eval"],
+        seed=params["seed"],
+        track_seed=params["track_seed"],
+        fps=params["fps"],
+        action_smoothing=params["action_smoothing"],
+        reward_fn=params["reward_fn"],
+        vae_model=params["vae_model"],
+        vae_model_type=params["vae_model_type"],
+        vae_z_dim=params["vae_z_dim"],
+        vae_source=params["vae_source"],
+    )
+
+    trainer = Trainer(settings, config, restart=restart)
+    try:
+        final = trainer.train()
+        print("Final metrics:")
+        for k, v in sorted(final.items()):
+            print(f"  {k}: {v:.4f}")
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -251,6 +251,57 @@ def seg_to_rgb(cls: Array) -> Array:
     return onehot @ SEG_PALETTE
 
 
+def render_rgb(
+    state: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+    key: Array | None = None,
+) -> Array:
+    """Shaded pseudo-RGB dashboard frame, [H, W, 3] float in [0,1].
+
+    Stands in for the reference's `sensor.camera.rgb` stream (the VAE's
+    *source* images; reference: collect_data.py:157-158): palette colors with
+    depth fog toward the horizon, a vertical sky gradient, and optional
+    per-pixel texture noise (domain randomization) so an RGB->seg VAE has a
+    non-trivial mapping to learn.
+    """
+    track = params.track
+    idxs = _window_indices(state.waypoint_idx, cam)
+    wp_pos = wp_gather(track.pos, idxs, track.length, track.is_loop)
+    wp_fwd = wp_gather(track.fwd, idxs, track.length, track.is_loop)
+    half_width = wp_gather(
+        track.left_width, state.waypoint_idx, track.length, track.is_loop
+    )
+
+    pts, sky, depth = ground_points(state.vehicle.pos, state.vehicle.yaw, cam)
+    lateral, s, nearest_dist = frenet_coords(
+        pts, wp_pos, wp_fwd,
+        (state.waypoint_idx - cam.window_behind).astype(jnp.float32),
+    )
+    cls = classify(lateral, s, nearest_dist, half_width, sky, style)
+    base = jax.nn.one_hot(cls, SEG_PALETTE.shape[0], dtype=jnp.float32) @ SEG_PALETTE
+
+    # Depth fog: fade ground toward a horizon haze color.
+    haze = jnp.asarray([0.74, 0.78, 0.82])
+    fog = jnp.clip(depth / 250.0, 0.0, 1.0)[:, None]
+    ground_rgb = base * (1.0 - fog) + haze[None, :] * fog
+
+    # Sky: vertical gradient from zenith blue to horizon haze.
+    _, vert = _pixel_rays(cam)
+    sky_t = jnp.clip(vert / 0.5, 0.0, 1.0)[:, None]
+    zenith = jnp.asarray([0.35, 0.52, 0.78])
+    sky_rgb = haze[None, :] * (1.0 - sky_t) + zenith[None, :] * sky_t
+
+    rgb = jnp.where(sky[:, None], sky_rgb, ground_rgb)
+
+    if key is not None:
+        rgb = jnp.clip(
+            rgb + 0.02 * jax.random.normal(key, rgb.shape), 0.0, 1.0
+        )
+    return rgb.reshape(cam.height, cam.width, 3)
+
+
 @partial(jax.jit, static_argnames=("cam", "style"))
 def render_batch(
     states: EnvState,

@@ -1,0 +1,259 @@
+"""Training orchestration: the host-side loop around the fused iteration.
+
+Re-designs reference: train.py:23-216. What the reference does once per
+episode (eval every `eval_interval`, checkpoint on best eval reward,
+TensorBoard scalars, videos of greedy episodes) happens here once per
+*iteration* (one fused rollout+update over the whole env batch); counters
+live inside the checkpointed TrainState so resume continues numbering
+transparently (reference: ppo.py:101-103, train.py:107-118).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from carla_ppo_tpu.envs import route_env, route_planner, track as track_mod
+from carla_ppo_tpu.envs.observations import vector_obs_dim
+from carla_ppo_tpu.envs.types import EnvParams
+from carla_ppo_tpu.models.policy import ActorCritic
+from carla_ppo_tpu.training import ppo
+from carla_ppo_tpu.utils.checkpoint import Checkpointer
+from carla_ppo_tpu.utils.metrics import MetricsWriter
+
+
+@dataclasses.dataclass
+class TrainerSettings:
+    """Driver-level knobs (reference CLI: train.py:218-266)."""
+
+    model_name: str = "ppo_lap"
+    models_root: str = "models"
+    num_iterations: int = 0  # <= 0: train forever (train.py:235 num_episodes)
+    eval_interval: int = 5  # iterations between evals (train.py:258)
+    record_eval: bool = False  # host video rendering (train.py:259-261)
+    eval_envs: int = 4
+    checkpoint_interval: int = 25  # periodic safety checkpoint
+    seed: int = 0
+    track_seed: int = 0
+    fps: int = 30
+    action_smoothing: float = 0.0  # train.py:247 default
+    reward_fn: str = "reward_speed_centering_angle_multiply"
+    # VAE latent observations (config 2): path to a trained VAE model dir.
+    vae_model: Optional[str] = None
+    vae_model_type: Optional[str] = None
+    vae_z_dim: Optional[int] = None
+    vae_source: str = "seg"
+
+
+class Trainer:
+    def __init__(
+        self,
+        settings: TrainerSettings,
+        config: ppo.PPOConfig,
+        restart: bool = False,
+        env_params: Optional[EnvParams] = None,
+    ):
+        self.settings = settings
+        self.config = config
+
+        self.model_dir = os.path.join(settings.models_root, settings.model_name)
+        if restart and os.path.isdir(self.model_dir):
+            shutil.rmtree(self.model_dir)  # (reference: train.py:107-110)
+        self.checkpoint_dir = os.path.join(self.model_dir, "checkpoints")
+        self.log_dir = os.path.join(self.model_dir, "logs")
+        self.video_dir = os.path.join(self.model_dir, "videos")
+        for d in (self.checkpoint_dir, self.log_dir, self.video_dir):
+            os.makedirs(d, exist_ok=True)
+
+        # Env params.
+        if env_params is not None:
+            self.env_params = env_params
+        elif config.env_kind == "route":
+            town = route_planner.make_town(seed=settings.track_seed)
+            bank = route_planner.make_route_bank(town, seed=settings.track_seed)
+            self.env_params = route_env.route_env_params(
+                bank,
+                dt=1.0 / settings.fps,
+                action_smoothing=settings.action_smoothing,
+                reward_fn=settings.reward_fn,
+            )
+        else:
+            self.env_params = EnvParams(
+                track=track_mod.make_lap_track(seed=settings.track_seed),
+                dt=1.0 / settings.fps,
+                action_smoothing=settings.action_smoothing,
+                reward_fn=settings.reward_fn,
+            )
+
+        # Observations: ground-truth vector or frozen-VAE latent.
+        self.latent_obs = None
+        self.vae_variables = None
+        if settings.vae_model:
+            from carla_ppo_tpu.models import vae_common
+
+            vae, vae_vars = vae_common.load_vae(
+                settings.vae_model, settings.vae_z_dim, settings.vae_model_type
+            )
+            self.latent_obs = ppo.LatentObs(vae_model=vae, source=settings.vae_source)
+            self.vae_variables = vae_vars
+            obs_dim = self.latent_obs.obs_dim
+        else:
+            obs_dim = vector_obs_dim()
+
+        self.model = ActorCritic(initial_std=config.initial_std)
+        rng = jax.random.PRNGKey(settings.seed)
+        self.train_state = ppo.create_train_state(self.model, config, obs_dim, rng)
+        self.env_states = ppo.init_env_batch(
+            self.env_params, config.num_envs, rng, env_kind=config.env_kind
+        )
+
+        self.checkpointer = Checkpointer(self.checkpoint_dir)
+        restored = self.checkpointer.restore_latest(self.train_state)
+        if restored is not None:
+            self.train_state = restored  # resume (reference: train.py:111-113)
+
+        self.writer = MetricsWriter(self.log_dir)
+        hparams = {**dataclasses.asdict(settings), **dataclasses.asdict(config)}
+        self.writer.write_hparams(hparams)
+
+        self.best_eval_reward = -float("inf")
+        self._eval_rng = jax.random.PRNGKey(settings.seed + 1)
+
+    @property
+    def iteration(self) -> int:
+        return int(self.train_state.iteration)
+
+    def evaluate(self) -> Dict[str, float]:
+        metrics = ppo.evaluate(
+            self.train_state.params,
+            self.env_params,
+            self.model,
+            self._eval_rng,
+            num_envs=self.settings.eval_envs,
+            config=self.config,
+            latent_obs=self.latent_obs,
+            vae_variables=self.vae_variables,
+        )
+        return {k: float(v) for k, v in metrics.items()}
+
+    def record_eval_video(self, filename: str, max_steps: int = 1500) -> float:
+        """Greedy episode through the interactive env, rendered to video
+        (reference: run_eval.py:30-73). Returns the episode reward."""
+        from carla_ppo_tpu.training.eval_host import run_eval
+        from carla_ppo_tpu.envs.gym_api import CarlaLapEnv, CarlaRouteEnv
+
+        if not hasattr(self, "_video_env"):
+            cls = CarlaRouteEnv if self.config.env_kind == "route" else CarlaLapEnv
+            os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+            self._video_env = cls(
+                obs_res=(160, 80),
+                encode_state_fn="vector" if self.latent_obs is None else None,
+                action_smoothing=self.settings.action_smoothing,
+                fps=self.settings.fps,
+                track_seed=self.settings.track_seed,
+                reward_fn=self.settings.reward_fn,
+            )
+        return run_eval(
+            self._video_env,
+            self._predict_fn(),
+            video_filename=filename,
+            max_steps=max_steps,
+        )
+
+    def _predict_fn(self):
+        model, params = self.model, self.train_state.params
+        latent = self.latent_obs
+        vae_vars = self.vae_variables
+
+        if latent is None:
+            from carla_ppo_tpu.envs import lap_env as le
+
+            @jax.jit
+            def predict(state, env_params):
+                obs = le.observe(state, env_params)
+                mean, _, value = model.apply(params, obs[None])
+                return mean[0], value[0]
+
+            def fn(env):
+                p = env.params
+                if self.config.env_kind == "route":
+                    p = p.replace(
+                        track=route_env.route_track(p.track, env.state.route_id)
+                    )
+                a, v = predict(env.state, p)
+                return np.asarray(a), float(v)
+
+            return fn
+
+        from carla_ppo_tpu.models.vae_common import create_encode_state_fn
+
+        encode = create_encode_state_fn(
+            latent.vae_model, vae_vars, source=latent.source
+        )
+
+        @jax.jit
+        def predict_latent(state, env_params):
+            obs = encode(state, env_params)
+            mean, _, value = model.apply(params, obs[None])
+            return mean[0], value[0]
+
+        def fn(env):
+            p = env.params
+            if self.config.env_kind == "route":
+                p = p.replace(
+                    track=route_env.route_track(p.track, env.state.route_id)
+                )
+            a, v = predict_latent(env.state, p)
+            return np.asarray(a), float(v)
+
+        return fn
+
+    def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
+        """Main loop (reference: train.py:117-216). Returns last metrics."""
+        target = num_iterations or self.settings.num_iterations
+        metrics: Dict[str, float] = {}
+        while target <= 0 or self.iteration < target:
+            it = self.iteration
+
+            if it % self.settings.eval_interval == 0:
+                eval_metrics = self.evaluate()
+                self.writer.write_scalars(eval_metrics, it)
+                eval_reward = eval_metrics["eval/reward"]
+                if self.settings.record_eval:
+                    video = os.path.join(self.video_dir, f"iteration{it}.avi")
+                    self.record_eval_video(video)
+                if eval_reward > self.best_eval_reward:
+                    self.best_eval_reward = eval_reward
+                    self.checkpointer.save(it, self.train_state)  # best-only
+                    # (reference: train.py:130-132)
+
+            self.train_state, self.env_states, m = ppo.train_iteration(
+                self.train_state,
+                self.env_states,
+                self.env_params,
+                self.model,
+                self.config,
+                latent_obs=self.latent_obs,
+                vae_variables=self.vae_variables,
+            )
+            metrics = {k: float(v) for k, v in m.items()}
+            self.writer.write_scalars(metrics, it)
+
+            if (
+                self.settings.checkpoint_interval > 0
+                and (it + 1) % self.settings.checkpoint_interval == 0
+            ):
+                self.checkpointer.save(it + 1, self.train_state)
+        self.writer.flush()
+        return metrics
+
+    def close(self) -> None:
+        self.writer.close()
+        if hasattr(self, "_video_env"):
+            self._video_env.close()
+        self.checkpointer.close()

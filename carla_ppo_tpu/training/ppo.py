@@ -35,7 +35,7 @@ import optax
 from flax import struct
 from jax import Array
 
-from carla_ppo_tpu.envs import lap_env
+from carla_ppo_tpu.envs import lap_env, route_env
 from carla_ppo_tpu.envs.types import EnvParams, EnvState
 from carla_ppo_tpu.models.policy import ActorCritic, gaussian_entropy, gaussian_log_prob
 from carla_ppo_tpu.ops import gae
@@ -61,12 +61,63 @@ class PPOConfig:
     num_minibatches: int = 4
     normalize_advantage: bool = True
     obs_fn: str = "vector"
+    # Which functional env family to drive: "lap" (CarlaLapEnv analog) or
+    # "route" (CarlaRouteEnv analog; reference: train.py:15-20 switches by a
+    # module constant).
+    env_kind: str = "lap"
     max_grad_norm: float = 0.0  # 0 disables clipping (reference has none)
     use_associative_gae: bool = False
 
     @property
     def updates_per_iteration(self) -> int:
         return self.num_epochs * self.num_minibatches
+
+
+def _env_module(config: "PPOConfig"):
+    return {"lap": lap_env, "route": route_env}[config.env_kind]
+
+
+@dataclasses.dataclass(frozen=True)
+class LatentObs:
+    """Frozen-VAE latent observation spec (static part).
+
+    When passed to train_iteration/rollout together with the VAE variables,
+    observations become z_mean(z_dim) ++ [steer, throttle, speed] computed
+    from the on-device camera inside the rollout (the reference's config:
+    vae_common.py:33-62 with a frozen VAE).
+    """
+
+    vae_model: Any  # VAE (flax Modules hash by config -> valid static arg)
+    source: str = "seg"  # "seg" | "rgb"
+    measurements: Tuple[str, ...] = ("steer", "throttle", "speed")
+
+    @property
+    def obs_dim(self) -> int:
+        return self.vae_model.z_dim + len(self.measurements)
+
+
+def make_obs_fn(latent_obs, vae_variables, config: "PPOConfig"):
+    """Batched obs builder: (env_states, env_params) -> [B, obs_dim]."""
+    env = _env_module(config)
+    if latent_obs is None:
+        return jax.vmap(
+            lambda s, p: env.observe(s, p, config.obs_fn), in_axes=(0, None)
+        )
+    from carla_ppo_tpu.models.vae_common import create_encode_state_fn
+
+    encode = create_encode_state_fn(
+        latent_obs.vae_model,
+        vae_variables,
+        measurements_to_include=latent_obs.measurements,
+        source=latent_obs.source,
+    )
+    if config.env_kind == "route":
+        def encode_route(s, p):
+            per_env = p.replace(track=route_env.route_track(p.track, s.route_id))
+            return encode(s, per_env)
+
+        return jax.vmap(encode_route, in_axes=(0, None))
+    return jax.vmap(encode, in_axes=(0, None))
 
 
 @struct.dataclass
@@ -126,7 +177,9 @@ def rollout(
     env_params: EnvParams,
     rng: Array,
     horizon: int,
-    obs_fn: str,
+    config: PPOConfig,
+    latent_obs: Any = None,
+    vae_variables: Any = None,
 ) -> Tuple[EnvState, Trajectory, Array, Dict[str, Array]]:
     """Scan the policy+env for `horizon` steps over the whole env batch.
 
@@ -134,15 +187,23 @@ def rollout(
     Episodic metrics are means over episodes that *finished* during the
     rollout (the snapshots StepOutput carries at done=True), mirroring the
     per-episode scalars the reference logs (train.py:210-215).
+
+    With `latent_obs` (+ frozen `vae_variables`), each step renders the
+    on-device camera and encodes it - camera, VAE, policy, and env fuse into
+    the same scan.
     """
-    obs0 = jax.vmap(lambda s: lap_env.observe(s, env_params, obs_fn))(env_states)
+    env = _env_module(config)
+    obs_builder = make_obs_fn(latent_obs, vae_variables, config)
+    obs0 = obs_builder(env_states, env_params)
 
     def step_fn(carry, key):
         env_states, obs = carry
         action, logp, value = model.sample(params, obs, key)
         env_states, out = jax.vmap(
-            lambda s, a: lap_env.autoreset_step(s, a, env_params, obs_fn)
+            lambda s, a: env.autoreset_step(s, a, env_params, config.obs_fn)
         )(env_states, action)
+        if latent_obs is not None:
+            out = out.replace(obs=obs_builder(env_states, env_params))
         traj = Trajectory(
             obs=obs,
             actions=action,
@@ -239,6 +300,8 @@ def train_iteration_core(
     model: ActorCritic,
     config: PPOConfig,
     axis_name: str | None = None,
+    latent_obs: Any = None,
+    vae_variables: Any = None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """One fused PPO iteration: rollout(horizon) -> GAE -> epochs of updates.
 
@@ -260,7 +323,9 @@ def train_iteration_core(
         env_params,
         roll_key,
         config.horizon,
-        config.obs_fn,
+        config,
+        latent_obs=latent_obs,
+        vae_variables=vae_variables,
     )
 
     gae_fn = gae.compute_gae_associative if config.use_associative_gae else gae.compute_gae
@@ -349,21 +414,27 @@ def train_iteration_core(
     return new_state, env_states, metrics
 
 
-@partial(jax.jit, static_argnames=("model", "config"))
+@partial(jax.jit, static_argnames=("model", "config", "latent_obs"))
 def train_iteration(
     train_state: TrainState,
     env_states: EnvState,
     env_params: EnvParams,
     model: ActorCritic,
     config: PPOConfig,
+    latent_obs: Any = None,
+    vae_variables: Any = None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """Single-device fused PPO iteration (see train_iteration_core)."""
     return train_iteration_core(
-        train_state, env_states, env_params, model, config, axis_name=None
+        train_state, env_states, env_params, model, config, axis_name=None,
+        latent_obs=latent_obs, vae_variables=vae_variables,
     )
 
 
-@partial(jax.jit, static_argnames=("model", "obs_fn", "max_steps", "num_envs"))
+@partial(
+    jax.jit,
+    static_argnames=("model", "config", "max_steps", "num_envs", "latent_obs"),
+)
 def evaluate(
     params: Any,
     env_params: EnvParams,
@@ -371,7 +442,9 @@ def evaluate(
     rng: Array,
     num_envs: int = 1,
     max_steps: int = 3000,
-    obs_fn: str = "vector",
+    config: PPOConfig = PPOConfig(),
+    latent_obs: Any = None,
+    vae_variables: Any = None,
 ) -> Dict[str, Array]:
     """Greedy evaluation episode(s) (reference: run_eval.py:30-73).
 
@@ -379,18 +452,22 @@ def evaluate(
     mean (std=0), runs until done (masked after), returns the eval metric set
     the reference logs (train.py:124-129).
     """
+    env = _env_module(config)
+    obs_builder = make_obs_fn(latent_obs, vae_variables, config)
     keys = jax.random.split(rng, num_envs)
     states = jax.vmap(
-        lambda k: lap_env.reset(env_params, k, is_training=False)
+        lambda k: env.reset(env_params, k, is_training=False)
     )(keys)
-    obs0 = jax.vmap(lambda s: lap_env.observe(s, env_params, obs_fn))(states)
+    obs0 = obs_builder(states, env_params)
 
     def step_fn(carry, _):
         states, obs, done, snap = carry
         mean, _, _ = model.apply(params, obs)
         next_states, out = jax.vmap(
-            lambda s, a: lap_env.step(s, a, env_params, obs_fn)
+            lambda s, a: env.step(s, a, env_params, config.obs_fn)
         )(states, mean)
+        if latent_obs is not None:
+            out = out.replace(obs=obs_builder(next_states, env_params))
         # Latch the first terminal snapshot per env.
         newly = jnp.logical_and(out.done, jnp.logical_not(done))
 
@@ -465,6 +542,12 @@ def evaluate(
     }
 
 
-def init_env_batch(env_params: EnvParams, num_envs: int, rng: Array) -> EnvState:
+def init_env_batch(
+    env_params: EnvParams,
+    num_envs: int,
+    rng: Array,
+    env_kind: str = "lap",
+) -> EnvState:
+    env = {"lap": lap_env, "route": route_env}[env_kind]
     keys = jax.random.split(rng, num_envs)
-    return jax.vmap(lambda k: lap_env.reset(env_params, k))(keys)
+    return jax.vmap(lambda k: env.reset(env_params, k))(keys)
