@@ -1,0 +1,76 @@
+"""Scripted driving agents (classical autopilot baselines).
+
+Parity with reference: CarlaEnv/agents/ - `Agent` base (hazard checks),
+`BasicAgent` (PID-follow a planned route to a destination,
+basic_agent.py:49-124) and `RoamingAgent` (follow the road forever,
+roaming_agent.py:16-74). The reference ships them alongside the planner; they
+are not used by the RL path but serve as baselines and data-collection
+drivers - same here.
+
+The agents are pure step functions over (EnvState, agent state) so they run
+under jit/vmap/scan, e.g. as a vectorized baseline fleet.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from carla_ppo_tpu.envs.controller import VehiclePIDController
+from carla_ppo_tpu.envs.types import EnvParams, EnvState
+
+
+@struct.dataclass
+class AgentState:
+    controller: VehiclePIDController
+    target_speed_kmh: Array  # [] float32
+
+    @classmethod
+    def create(cls, target_speed_kmh: float = 20.0) -> "AgentState":
+        return cls(
+            controller=VehiclePIDController.create(),
+            target_speed_kmh=jnp.float32(target_speed_kmh),
+        )
+
+
+def roaming_agent_step(
+    agent: AgentState, env_state: EnvState, env_params: EnvParams
+) -> Tuple[Array, AgentState]:
+    """Follow the current road at the target speed, slowing for curvature
+    (reference: roaming_agent.py:16-74 runs a LocalPlanner at a fixed speed;
+    we add curvature-aware slowdown since our tracks have tight turns)."""
+    from carla_ppo_tpu.envs import geometry
+    from carla_ppo_tpu.envs.observations import wp_gather
+
+    track = env_params.track
+    # Upcoming road bend over ~12 m.
+    f_now = wp_gather(track.fwd, env_state.waypoint_idx, track.length, track.is_loop)
+    f_ahead = wp_gather(
+        track.fwd, env_state.waypoint_idx + 12, track.length, track.is_loop
+    )
+    bend = jnp.abs(geometry.angle_diff(f_now, f_ahead))
+    slow = jnp.clip(1.0 - bend / jnp.deg2rad(60.0), 0.45, 1.0)
+
+    action, controller = agent.controller.run_step(
+        env_state, env_params, agent.target_speed_kmh * slow
+    )
+    return action, agent.replace(controller=controller)
+
+
+def basic_agent_step(
+    agent: AgentState, env_state: EnvState, env_params: EnvParams
+) -> Tuple[Array, AgentState, Array]:
+    """Route-following agent; returns (action, agent, done_flag) where done
+    signals arrival at the route's final waypoint
+    (reference: basic_agent.py:96-124 returns a stop control at the end)."""
+    track = env_params.track
+    remaining = track.length - 1 - env_state.waypoint_idx
+    arrived = remaining <= 2
+
+    action, agent = roaming_agent_step(agent, env_state, env_params)
+    # Stop at the destination: zero throttle (no brake in the action space).
+    action = jnp.where(arrived, jnp.array([0.0, 0.0]), action)
+    return action, agent, arrived

@@ -1,0 +1,88 @@
+"""Running statistics + vectorized reward normalization.
+
+The route config trains with normalized rewards over the vectorized env batch
+(BASELINE.json config 3 "vecnorm rewards"); the reference has no vectorized
+envs so this is a new, owned component. Semantics follow the standard
+VecNormalize recipe: maintain a per-env discounted return estimate
+R_t = gamma * R_{t-1} * (1 - done) + r_t, track its running variance, and
+scale rewards by 1/sqrt(var + eps) (no mean subtraction - shifting rewards
+changes the optimal policy).
+
+Pure functions over an explicit state pytree; Welford-style batched moment
+merging so the update is one pass over the [T, B] reward block.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+
+@struct.dataclass
+class RunningMoments:
+    mean: Array  # [] float32
+    var: Array  # [] float32
+    count: Array  # [] float32
+
+    @classmethod
+    def create(cls) -> "RunningMoments":
+        return cls(
+            mean=jnp.float32(0.0), var=jnp.float32(1.0), count=jnp.float32(1e-4)
+        )
+
+
+def update_moments(m: RunningMoments, batch: Array) -> RunningMoments:
+    """Merge a batch of samples (any shape) into the running moments."""
+    batch = batch.reshape(-1)
+    b_count = jnp.float32(batch.size)
+    b_mean = batch.mean()
+    b_var = batch.var()
+    delta = b_mean - m.mean
+    tot = m.count + b_count
+    new_mean = m.mean + delta * b_count / tot
+    new_var = (
+        m.var * m.count + b_var * b_count + delta**2 * m.count * b_count / tot
+    ) / tot
+    return RunningMoments(mean=new_mean, var=new_var, count=tot)
+
+
+@struct.dataclass
+class RewardNormState:
+    returns: Array  # [B] per-env discounted return estimate
+    moments: RunningMoments
+
+    @classmethod
+    def create(cls, num_envs: int) -> "RewardNormState":
+        return cls(
+            returns=jnp.zeros((num_envs,), jnp.float32),
+            moments=RunningMoments.create(),
+        )
+
+
+def normalize_rewards(
+    state: RewardNormState,
+    rewards: Array,  # [T, B]
+    dones: Array,  # [T, B]
+    gamma: float,
+    clip: float = 10.0,
+    eps: float = 1e-8,
+) -> Tuple[Array, RewardNormState]:
+    """Scale a rollout's rewards by the running return std; returns
+    (normalized [T, B], new state)."""
+
+    def scan_fn(ret, x):
+        r, d = x
+        ret = ret * gamma * (1.0 - d) + r
+        return ret, ret
+
+    ret_final, rets = jax.lax.scan(
+        scan_fn, state.returns, (rewards, dones.astype(rewards.dtype))
+    )
+    moments = update_moments(state.moments, rets)
+    scale = 1.0 / jnp.sqrt(moments.var + eps)
+    normalized = jnp.clip(rewards * scale, -clip, clip)
+    return normalized, RewardNormState(returns=ret_final, moments=moments)

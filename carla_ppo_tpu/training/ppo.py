@@ -60,6 +60,9 @@ class PPOConfig:
     # 1/4 of the batch per minibatch, 4 minibatches per epoch.
     num_minibatches: int = 4
     normalize_advantage: bool = True
+    # VecNormalize-style reward scaling by running return std (the route
+    # config trains with this; BASELINE.json config 3).
+    normalize_rewards: bool = False
     obs_fn: str = "vector"
     # Which functional env family to drive: "lap" (CarlaLapEnv analog) or
     # "route" (CarlaRouteEnv analog; reference: train.py:15-20 switches by a
@@ -129,6 +132,8 @@ class TrainState:
     total_env_steps: Array  # [] int64-ish float for logging
     episodes_done: Array  # [] int32 cumulative finished episodes
     rng: Array
+    # Running reward-normalization state (used when config.normalize_rewards).
+    reward_norm: Any = None
 
 
 @struct.dataclass
@@ -159,6 +164,13 @@ def create_train_state(
 ) -> TrainState:
     params = model.init(rng, jnp.zeros((1, obs_dim), jnp.float32))
     opt_state = make_optimizer(config).init(params)
+    from carla_ppo_tpu.ops.running_stats import RewardNormState
+
+    reward_norm = (
+        RewardNormState.create(config.num_envs)
+        if config.normalize_rewards
+        else None
+    )
     return TrainState(
         params=params,
         opt_state=opt_state,
@@ -167,6 +179,7 @@ def create_train_state(
         total_env_steps=jnp.float32(0.0),
         episodes_done=jnp.int32(0),
         rng=rng,
+        reward_norm=reward_norm,
     )
 
 
@@ -328,9 +341,20 @@ def train_iteration_core(
         vae_variables=vae_variables,
     )
 
+    reward_norm = train_state.reward_norm
+    rewards = traj.rewards
+    if config.normalize_rewards:
+        from carla_ppo_tpu.ops import running_stats
+
+        # Per-device running stats in dp mode (each device normalizes its own
+        # shard; the scales converge to the same value quickly).
+        rewards, reward_norm = running_stats.normalize_rewards(
+            reward_norm, rewards, traj.dones, config.discount_factor
+        )
+
     gae_fn = gae.compute_gae_associative if config.use_associative_gae else gae.compute_gae
     advantages = gae_fn(
-        traj.rewards,
+        rewards,
         traj.values,
         bootstrap,
         traj.dones,
@@ -410,6 +434,7 @@ def train_iteration_core(
         episodes_done=train_state.episodes_done
         + episodic["train/episodes_finished"].astype(jnp.int32),
         rng=rng,
+        reward_norm=reward_norm,
     )
     return new_state, env_states, metrics
 
