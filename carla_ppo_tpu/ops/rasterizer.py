@@ -125,12 +125,20 @@ def frenet_coords(
 
     Returns (signed_lateral [P], s [P] meters along route, nearest_dist [P]).
     """
-    # Squared distances: |p|^2 - 2 p.w + |w|^2 ; the cross term is the matmul.
-    cross = pts @ wp_pos.T  # [P, K]  <- MXU
+    # Squared distances [P, K]: recenter to the window's first waypoint, then
+    # expand |p|^2 - 2 p.w + |w|^2 so the cross term rides the MXU. The
+    # recentering is what makes the expansion safe in f32: at world
+    # coordinates of a few hundred meters it cancels catastrophically and
+    # boundary pixels pick the wrong waypoint; with local coordinates
+    # (|p| ~ 100 m within the window) the error is < 1e-3 m^2.
+    origin = wp_pos[0]
+    p_loc = pts - origin
+    w_loc = wp_pos - origin
+    cross = p_loc @ w_loc.T  # [P, K]  <- MXU
     d2 = (
-        jnp.sum(pts * pts, axis=1, keepdims=True)
+        jnp.sum(p_loc * p_loc, axis=1, keepdims=True)
         - 2.0 * cross
-        + jnp.sum(wp_pos * wp_pos, axis=1)[None, :]
+        + jnp.sum(w_loc * w_loc, axis=1)[None, :]
     )
     nearest = jnp.argmin(d2, axis=1)  # [P]
 

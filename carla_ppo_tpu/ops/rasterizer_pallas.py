@@ -1,0 +1,215 @@
+"""Pallas TPU kernel: fused semantic-camera rasterizer (alternative backend).
+
+Fuses the whole raycast -> nearest-centerline -> classify pipeline per
+(env, pixel-tile): the K-waypoint window sits in VMEM, the [TILE, K] distance
+block lives only in VMEM, and a single int32 class tile leaves the kernel.
+
+Mosaic-friendly layout (see pallas_guide "Tiling Constraints" and "Common
+Pitfalls"): every per-pixel tensor keeps a native (SUB, LANE) = (16, 128)
+vector shape end to end - no 1D reshapes (Mosaic rejects such shape casts);
+argmin on 3D vectors does not legalize, so the nearest index is extracted
+with a min + equality mask + int-min; the nearest waypoint's data is fetched
+with a masked reduction instead of a gather.
+
+STATUS / perf notes (round 1 measurements on v5e, B=1024):
+- bit-identical to itself across compile/interpret; ~97% pixel-identical to
+  the XLA reference (disagreements are single-pixel class-band boundaries
+  from fma association differences).
+- XLA path: 19.6 ms / 1024 frames; this kernel: ~148 ms. The kernel keeps
+  all K-axis work on the VPU (~18 elementwise passes over [SUB, LANE, K]),
+  while XLA moves the distance cross-term and one-hot payload fetch onto the
+  MXU. The production renderer therefore remains ops/rasterizer.render_batch.
+- Optimization plan for the next round: lane-major env batching (pixels on
+  sublanes x envs on lanes) with a fori_loop over K, the d2 cross-term as a
+  [TILE, 2] x [2, K] MXU matmul on camera-recentered coordinates, and
+  per-stripe window narrowing via PrefetchScalarGridSpec (near image rows
+  only ever see the first ~40 window waypoints).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from carla_ppo_tpu.envs.observations import wp_gather
+from carla_ppo_tpu.envs.types import EnvParams, EnvState, SegClass
+from carla_ppo_tpu.ops.rasterizer import CameraConfig, RoadStyle, _window_indices
+
+TILE = 2048  # pixels per program = (SUB, LANE) = (16, 128)
+SUB = TILE // 128
+LANE = 128
+
+
+def _raster_kernel(
+    pose_ref,  # [1, 1, 8] f32: x, y, yaw, idx0, half_width, pad
+    window_ref,  # [1, K, 4] f32: wx, wy, fx, fy
+    out_ref,  # [1, 1, SUB, LANE] int32
+    *,
+    cam: CameraConfig,
+    style: RoadStyle,
+):
+    H, W, f = cam.height, cam.width, cam.focal
+    K = window_ref.shape[1]
+
+    tile_idx = pl.program_id(1)
+
+    x = pose_ref[0, 0, 0]
+    y = pose_ref[0, 0, 1]
+    yaw = pose_ref[0, 0, 2]
+    idx0 = pose_ref[0, 0, 3]
+    half_width = pose_ref[0, 0, 4]
+
+    # Flat pixel index of each element of the (SUB, LANE) tile.
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    flat = tile_idx * TILE + r * LANE + c
+    u = jnp.mod(flat, W).astype(jnp.float32) + 0.5
+    v = (flat // W).astype(jnp.float32) + 0.5
+
+    lateral = (u - W / 2.0) / f
+    pitch = math.tan(math.radians(cam.pitch_deg))
+    vert = (H / 2.0 - v) / f + pitch
+
+    sky = vert >= -1e-6
+    t = cam.mount_height / jnp.where(sky, 1.0, -vert)
+
+    cos_y = jnp.cos(yaw)
+    sin_y = jnp.sin(yaw)
+    cam_x = x + cos_y * cam.mount_forward
+    cam_y = y + sin_y * cam.mount_forward
+    # Ray direction = fwd + right * lateral; right = (sin, -cos).
+    dx = cos_y + sin_y * lateral
+    dy = sin_y - cos_y * lateral
+    px = cam_x + t * dx  # [SUB, LANE]
+    py = cam_y + t * dy
+
+    wx = window_ref[0, :, 0]  # [K]
+    wy = window_ref[0, :, 1]
+    fx = window_ref[0, :, 2]
+    fy = window_ref[0, :, 3]
+
+    # Squared distances [SUB, LANE, K] via 3D broadcasting (VPU), then a
+    # min reduction over the window axis. Mosaic cannot legalize argmin on 3D
+    # vectors, so the index is extracted with an equality mask + int min
+    # (first match wins, like argmin's tie-breaking).
+    ddx = px[:, :, None] - wx[None, None, :]
+    ddy = py[:, :, None] - wy[None, None, :]
+    d2 = ddx * ddx + ddy * ddy
+    d2_min = jnp.min(d2, axis=-1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE, K), 2)
+    nearest = jnp.min(
+        jnp.where(d2 == d2_min[:, :, None], kk, K), axis=-1
+    )  # [SUB, LANE] int32
+    nearest_dist = jnp.sqrt(jnp.maximum(d2_min, 0.0))
+
+    # Masked-reduction "gather" of the nearest waypoint's data (no gathers on
+    # TPU): onehot [SUB, LANE, K] * column -> sum over K.
+    onehot = (kk == nearest[:, :, None]).astype(jnp.float32)
+    n_px = jnp.sum(onehot * wx[None, None, :], axis=-1)
+    n_py = jnp.sum(onehot * wy[None, None, :], axis=-1)
+    n_fx = jnp.sum(onehot * fx[None, None, :], axis=-1)
+    n_fy = jnp.sum(onehot * fy[None, None, :], axis=-1)
+
+    rel_x = px - n_px
+    rel_y = py - n_py
+    lat = n_fx * rel_y - n_fy * rel_x  # signed lateral offset
+    along = rel_x * n_fx + rel_y * n_fy
+    s = idx0 + nearest.astype(jnp.float32) + along
+
+    # Classification ladder (parity with rasterizer.classify).
+    alat = jnp.abs(lat)
+    on_road = alat <= half_width
+    edge_line = jnp.abs(alat - half_width) <= style.edge_line_width / 2.0
+    dash_on = jnp.mod(s, style.center_dash_period) < (
+        style.center_dash_period * style.center_dash_duty
+    )
+    center_line = jnp.logical_and(alat <= style.center_line_half_width, dash_on)
+    sidewalk = jnp.logical_and(
+        alat > half_width, alat <= half_width + style.sidewalk_width
+    )
+    corridor = nearest_dist <= half_width + style.sidewalk_width + 25.0
+
+    cls = jnp.full((SUB, LANE), int(SegClass.VEGETATION), jnp.int32)
+    cls = jnp.where(sidewalk, int(SegClass.SIDEWALKS), cls)
+    cls = jnp.where(on_road, int(SegClass.ROADS), cls)
+    cls = jnp.where(
+        jnp.logical_and(on_road, center_line), int(SegClass.ROADLINES), cls
+    )
+    cls = jnp.where(edge_line, int(SegClass.ROADLINES), cls)
+    cls = jnp.where(~corridor, int(SegClass.VEGETATION), cls)
+    cls = jnp.where(sky, int(SegClass.NONE), cls)
+    out_ref[0, 0, :, :] = cls
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "style", "interpret"))
+def render_batch_pallas(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+    interpret: bool = False,
+) -> Array:
+    """[B, H, W] int32 seg frames for a vmapped env batch, fused in Pallas.
+
+    Window gathering (dynamic track indexing) stays in XLA where gathers are
+    supported; the per-pixel hot loop runs in the kernel.
+    """
+    track = params.track
+
+    def gather_window(state):
+        idxs = _window_indices(state.waypoint_idx, cam)
+        wp_pos = wp_gather(track.pos, idxs, track.length, track.is_loop)
+        wp_fwd = wp_gather(track.fwd, idxs, track.length, track.is_loop)
+        half_width = wp_gather(
+            track.left_width, state.waypoint_idx, track.length, track.is_loop
+        )
+        window = jnp.concatenate([wp_pos, wp_fwd], axis=1)  # [K, 4]
+        pose = jnp.stack(
+            [
+                state.vehicle.pos[0],
+                state.vehicle.pos[1],
+                state.vehicle.yaw,
+                (state.waypoint_idx - cam.window_behind).astype(jnp.float32),
+                half_width,
+                0.0,
+                0.0,
+                0.0,
+            ]
+        )
+        return pose, window
+
+    poses, windows = jax.vmap(gather_window)(states)  # [B, 8], [B, K, 4]
+    poses = poses[:, None, :]  # [B, 1, 8] (tiling-friendly trailing dims)
+    B = poses.shape[0]
+    H, W = cam.height, cam.width
+    P = H * W
+    n_tiles = -(-P // TILE)  # ceil; the last tile's overhang is sliced off
+    K = windows.shape[1]
+
+    kernel = functools.partial(_raster_kernel, cam=cam, style=style)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles, SUB, LANE), jnp.int32),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 8), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, K, 4), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, SUB, LANE),
+            lambda b, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(poses, windows)
+    return out.reshape(B, n_tiles * TILE)[:, :P].reshape(B, H, W)

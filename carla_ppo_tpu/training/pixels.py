@@ -1,0 +1,274 @@
+"""End-to-end pixel PPO with joint VAE auxiliary training (config 4).
+
+The full on-device loop: Pallas/XLA camera renders seg frames -> conv encoder
+-> policy, with PPO's clipped surrogate plus the beta-VAE objective on the
+SAME minibatch frames, all in one XLA program. The reference can only train
+its VAE offline on 10k recorded frames and freeze it (SURVEY.md section 3.4);
+joint training is the capability step beyond.
+
+Memory: rollout frames are stored as uint8 class ids ([T, B, H, W], 1.6 GB at
+T=128 B=1024) and converted to the /12-normalized float channel per minibatch
+- HBM-friendly and exactly the reference's preprocessing (train_vae.py:26-29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import Array
+
+from carla_ppo_tpu.envs import lap_env, route_env
+from carla_ppo_tpu.envs.types import EnvParams, EnvState
+from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+from carla_ppo_tpu.models.policy import gaussian_entropy, gaussian_log_prob
+from carla_ppo_tpu.models.vae import vae_loss
+from carla_ppo_tpu.ops import gae, rasterizer
+from carla_ppo_tpu.training.ppo import PPOConfig, TrainState, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class PixelConfig:
+    """Extra knobs on top of PPOConfig for the pixel pipeline."""
+
+    vae_scale: float = 1e-4  # aux (recon + beta*kl) weight vs PPO loss
+    beta: float = 1.0
+    kl_tolerance: float = 0.0
+    cam: rasterizer.CameraConfig = rasterizer.CameraConfig()
+
+
+@struct.dataclass
+class PixelTrajectory:
+    frames: Array  # [T, B, H, W] uint8 class ids
+    measurements: Array  # [T, B, 3]
+    actions: Array
+    log_probs: Array
+    values: Array
+    rewards: Array
+    dones: Array
+
+
+def _render_and_measure(
+    states: EnvState, env_params: EnvParams, cam, env_kind: str
+) -> Tuple[Array, Array]:
+    from carla_ppo_tpu.envs.observations import measurements as measure_fn
+
+    def per_env(s):
+        p = env_params
+        if env_kind == "route":
+            p = p.replace(track=route_env.route_track(p.track, s.route_id))
+        cls = rasterizer.render_semantic(s, p, cam)
+        return cls.astype(jnp.uint8), measure_fn(s)
+
+    return jax.vmap(per_env)(states)
+
+
+def pixel_rollout(
+    model: PixelActorCritic,
+    params: Any,
+    env_states: EnvState,
+    env_params: EnvParams,
+    rng: Array,
+    config: PPOConfig,
+    pix: PixelConfig,
+):
+    env = {"lap": lap_env, "route": route_env}[config.env_kind]
+
+    frames0, meas0 = _render_and_measure(
+        env_states, env_params, pix.cam, config.env_kind
+    )
+
+    def step_fn(carry, key):
+        env_states, frames, meas = carry
+        f = frames.astype(jnp.float32)[..., None] / 12.0
+        action, logp, value = model.act(params, f, meas, key)
+        env_states, out = jax.vmap(
+            lambda s, a: env.autoreset_step(s, a, env_params, "vector")
+        )(env_states, action)
+        next_frames, next_meas = _render_and_measure(
+            env_states, env_params, pix.cam, config.env_kind
+        )
+        traj = PixelTrajectory(
+            frames=frames,
+            measurements=meas,
+            actions=action,
+            log_probs=logp,
+            values=value,
+            rewards=out.reward,
+            dones=out.done.astype(jnp.float32),
+        )
+        ep = (out.done.astype(jnp.float32), out.total_reward,
+              out.distance_traveled, out.laps_completed)
+        return (env_states, next_frames, next_meas), (traj, ep)
+
+    keys = jax.random.split(rng, config.horizon)
+    (env_states, last_frames, last_meas), (traj, ep) = jax.lax.scan(
+        step_fn, (env_states, frames0, meas0), keys
+    )
+
+    f = last_frames.astype(jnp.float32)[..., None] / 12.0
+    _, _, bootstrap = model.apply(params, f, last_meas, method=model.policy_value)
+
+    done_w, ep_rew, ep_dist, ep_laps = ep
+    n_done = jnp.maximum(done_w.sum(), 1.0)
+    episodic = {
+        "train/reward": (ep_rew * done_w).sum() / n_done,
+        "train/distance_traveled": (ep_dist * done_w).sum() / n_done,
+        "train/laps_completed": (ep_laps * done_w).sum() / n_done,
+        "train/episodes_finished": done_w.sum(),
+    }
+    return env_states, traj, bootstrap, episodic
+
+
+def pixel_loss(
+    params: Any,
+    model: PixelActorCritic,
+    batch: Dict[str, Array],
+    config: PPOConfig,
+    pix: PixelConfig,
+    rng: Array,
+) -> Tuple[Array, Dict[str, Array]]:
+    frames = batch["frames"].astype(jnp.float32)[..., None] / 12.0
+    mean, std, value, aux = model.apply(
+        params, frames, batch["measurements"], rng
+    )
+    logp = gaussian_log_prob(batch["actions"], mean, std)
+    ratio = jnp.exp(logp - batch["log_probs"])
+    adv = batch["advantages"]
+    policy_loss = jnp.mean(
+        jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - config.ppo_epsilon, 1 + config.ppo_epsilon) * adv,
+        )
+    )
+    value_loss = jnp.mean((value - batch["returns"]) ** 2) * config.value_scale
+    entropy_loss = jnp.mean(gaussian_entropy(std)) * config.entropy_scale
+    ppo_total = -policy_loss + value_loss - entropy_loss
+
+    metrics = {
+        "train_loss/policy": policy_loss,
+        "train_loss/value": value_loss,
+        "train_loss/entropy": entropy_loss,
+        "train/prob_ratio": jnp.mean(ratio),
+    }
+
+    total = ppo_total
+    if model.with_decoder:
+        v_loss, v_metrics = vae_loss(
+            aux["recon_logits"], frames, aux["z_mean"], aux["z_logstd_sq"],
+            pix.beta, pix.kl_tolerance, model.z_dim, "bce",
+        )
+        total = ppo_total + pix.vae_scale * v_loss
+        metrics["train_loss/vae_recon"] = v_metrics["reconstruction_loss"]
+        metrics["train_loss/vae_kl"] = v_metrics["kl_loss"]
+    metrics["train_loss/loss"] = total
+    return total, metrics
+
+
+@partial(jax.jit, static_argnames=("model", "config", "pix"))
+def pixel_train_iteration(
+    train_state: TrainState,
+    env_states: EnvState,
+    env_params: EnvParams,
+    model: PixelActorCritic,
+    config: PPOConfig,
+    pix: PixelConfig = PixelConfig(),
+) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
+    rng, roll_key, perm_key, loss_key = jax.random.split(train_state.rng, 4)
+
+    env_states, traj, bootstrap, episodic = pixel_rollout(
+        model, train_state.params, env_states, env_params, roll_key, config, pix
+    )
+
+    advantages = gae.compute_gae(
+        traj.rewards, traj.values, bootstrap, traj.dones,
+        config.discount_factor, config.gae_lambda,
+    )
+    returns = advantages + traj.values
+    if config.normalize_advantage:
+        advantages = gae.normalize_advantages(advantages)
+
+    T, B = traj.rewards.shape
+    n = T * B
+    H, W = traj.frames.shape[-2:]
+    data = {
+        "frames": traj.frames.reshape(n, H, W),
+        "measurements": traj.measurements.reshape(n, -1),
+        "actions": traj.actions.reshape(n, -1),
+        "log_probs": traj.log_probs.reshape(n),
+        "returns": returns.reshape(n),
+        "advantages": advantages.reshape(n),
+    }
+
+    tx = make_optimizer(config)
+
+    def minibatch_step(carry, xs):
+        params, opt_state = carry
+        idx, key = xs
+        batch = jax.tree.map(lambda x: x[idx], data)
+        (_, metrics), grads = jax.value_and_grad(pixel_loss, has_aux=True)(
+            params, model, batch, config, pix, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), metrics
+
+    def epoch_step(carry, keys):
+        perm_k, mb_keys = keys
+        perm = jax.random.permutation(perm_k, n)
+        batches = perm.reshape(config.num_minibatches, -1)
+        return jax.lax.scan(minibatch_step, carry, (batches, mb_keys))
+
+    epoch_perm_keys = jax.random.split(perm_key, config.num_epochs)
+    mb_keys = jax.random.split(
+        loss_key, config.num_epochs * config.num_minibatches
+    ).reshape(config.num_epochs, config.num_minibatches, -1)
+    (params, opt_state), metrics = jax.lax.scan(
+        epoch_step,
+        (train_state.params, train_state.opt_state),
+        (epoch_perm_keys, mb_keys),
+    )
+
+    metrics = jax.tree.map(lambda x: x.mean(), metrics)
+    metrics.update(episodic)
+
+    new_state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        iteration=train_state.iteration + 1,
+        train_step=train_state.train_step + config.updates_per_iteration,
+        total_env_steps=train_state.total_env_steps + jnp.float32(n),
+        episodes_done=train_state.episodes_done
+        + episodic["train/episodes_finished"].astype(jnp.int32),
+        rng=rng,
+        reward_norm=train_state.reward_norm,
+    )
+    return new_state, env_states, metrics
+
+
+def create_pixel_train_state(
+    model: PixelActorCritic, config: PPOConfig, rng: Array
+) -> TrainState:
+    h, w, c = model.frame_shape
+    params = model.init(
+        rng,
+        jnp.zeros((1, h, w, c), jnp.float32),
+        jnp.zeros((1, model.num_measurements), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    opt_state = make_optimizer(config).init(params)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        iteration=jnp.int32(0),
+        train_step=jnp.int32(0),
+        total_env_steps=jnp.float32(0.0),
+        episodes_done=jnp.int32(0),
+        rng=rng,
+        reward_norm=None,
+    )
