@@ -169,6 +169,7 @@ def compute_route_waypoints(
     start_node: int,
     end_node: int,
     resolution: float = 1.0,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """A* route -> (pos [n,2], fwd [n,2], maneuver [n]) at 1 m resolution.
 
@@ -177,15 +178,31 @@ def compute_route_waypoints(
     within ~15 m of the junction (the reference back-extends maneuvers 5
     waypoints before junctions, planner.py:115-124; our fillets are longer so
     the painted window is wider).
+
+    The search runs in native C++ when the library is built (utils/native.py),
+    falling back to networkx - both produce shortest paths under the same
+    euclidean edge weights.
     """
-    import networkx as nx
+    node_path = None
+    if use_native:
+        from carla_ppo_tpu.utils import native
 
-    g = town.to_networkx()
+        if native.available():
+            node_path = native.route_astar(
+                town.nodes, np.asarray(town.edges, np.int32),
+                int(start_node), int(end_node),
+            ).tolist()
+    if node_path is None:
+        import networkx as nx
 
-    def h(a, b):
-        return float(np.linalg.norm(town.nodes[a] - town.nodes[b]))
+        g = town.to_networkx()
 
-    node_path = nx.astar_path(g, start_node, end_node, heuristic=h, weight="weight")
+        def h(a, b):
+            return float(np.linalg.norm(town.nodes[a] - town.nodes[b]))
+
+        node_path = nx.astar_path(
+            g, start_node, end_node, heuristic=h, weight="weight"
+        )
     raw = town.nodes[np.asarray(node_path)]
     smooth = _fillet_path(raw)
 
