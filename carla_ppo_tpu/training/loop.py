@@ -224,6 +224,13 @@ class Trainer:
                 eval_metrics = self.evaluate()
                 self.writer.write_scalars(eval_metrics, it)
                 eval_reward = eval_metrics["eval/reward"]
+                print(
+                    f"Iteration {it} (step {int(self.train_state.train_step)}): "
+                    f"eval reward {eval_reward:.1f}, "
+                    f"distance {eval_metrics['eval/distance_traveled']:.0f} m, "
+                    f"laps {eval_metrics['eval/laps_completed']:.2f}",
+                    flush=True,
+                )  # (reference prints per episode, train.py:138)
                 if self.settings.record_eval:
                     video = os.path.join(self.video_dir, f"iteration{it}.avi")
                     self.record_eval_video(video)

@@ -35,7 +35,7 @@ import optax
 from flax import struct
 from jax import Array
 
-from carla_ppo_tpu.envs import lap_env, route_env
+from carla_ppo_tpu.envs import lap_bank_env, lap_env, route_env
 from carla_ppo_tpu.envs.types import EnvParams, EnvState
 from carla_ppo_tpu.models.policy import ActorCritic, gaussian_entropy, gaussian_log_prob
 from carla_ppo_tpu.ops import gae
@@ -77,7 +77,9 @@ class PPOConfig:
 
 
 def _env_module(config: "PPOConfig"):
-    return {"lap": lap_env, "route": route_env}[config.env_kind]
+    return {"lap": lap_env, "route": route_env, "lap_bank": lap_bank_env}[
+        config.env_kind
+    ]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,12 +116,15 @@ def make_obs_fn(latent_obs, vae_variables, config: "PPOConfig"):
         measurements_to_include=latent_obs.measurements,
         source=latent_obs.source,
     )
-    if config.env_kind == "route":
-        def encode_route(s, p):
-            per_env = p.replace(track=route_env.route_track(p.track, s.route_id))
+    if config.env_kind in ("route", "lap_bank"):
+        # Banked tracks: slice the per-env track before rendering/encoding.
+        def encode_banked(s, p):
+            per_env = p.replace(
+                track=jax.tree.map(lambda x: x[s.route_id], p.track)
+            )
             return encode(s, per_env)
 
-        return jax.vmap(encode_route, in_axes=(0, None))
+        return jax.vmap(encode_banked, in_axes=(0, None))
     return jax.vmap(encode, in_axes=(0, None))
 
 
@@ -573,6 +578,8 @@ def init_env_batch(
     rng: Array,
     env_kind: str = "lap",
 ) -> EnvState:
+    if env_kind == "lap_bank":
+        return lap_bank_env.init_env_batch(env_params, num_envs, rng)
     env = {"lap": lap_env, "route": route_env}[env_kind]
     keys = jax.random.split(rng, num_envs)
     return jax.vmap(lambda k: env.reset(env_params, k))(keys)
