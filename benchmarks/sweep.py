@@ -1,0 +1,121 @@
+"""Benchmark sweep: throughput of every major pipeline at several batch sizes.
+
+Prints one JSON line per (pipeline, batch) to stdout; run on real TPU
+hardware. `bench.py` at the repo root remains the single-headline benchmark.
+
+Usage: python benchmarks/sweep.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    from carla_ppo_tpu.envs import lap_env, track
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+    from carla_ppo_tpu.envs.types import EnvParams
+    from carla_ppo_tpu.models.policy import ActorCritic
+    from carla_ppo_tpu.ops import rasterizer as R
+    from carla_ppo_tpu.training import ppo
+
+    env_params = EnvParams(track=track.make_lap_track(seed=0))
+    model = ActorCritic()
+    batches = [256, 1024] if args.quick else [256, 1024, 4096, 8192]
+    results = []
+
+    def report(name, batch, unit_count, seconds, unit="env_steps/sec"):
+        rec = {
+            "metric": name,
+            "batch": batch,
+            "value": round(unit_count / seconds, 1),
+            "unit": unit,
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    for B in batches:
+        rng = jax.random.PRNGKey(0)
+        envs = ppo.init_env_batch(env_params, B, rng)
+
+        # 1. env-only stepping (random actions), jitted scan of 128.
+        T = 128
+
+        @jax.jit
+        def env_only(envs, key):
+            def body(c, k):
+                s = c
+                a = jax.random.uniform(
+                    k, (B, 2), minval=jnp.array([-1.0, 0.0]), maxval=1.0
+                )
+                s, out = jax.vmap(
+                    lambda st, ac: lap_env.autoreset_step(st, ac, env_params)
+                )(s, a)
+                return s, out.reward.sum()
+
+            return jax.lax.scan(body, envs, jax.random.split(key, T))
+
+        dt = timeit(env_only, envs, rng)
+        report("env_step_only", B, B * T, dt)
+
+        # 2. full PPO iteration, vector obs.
+        config = ppo.PPOConfig(num_envs=B, horizon=T)
+        ts = ppo.create_train_state(model, config, vector_obs_dim(), rng)
+
+        def train_it(ts, envs):
+            return ppo.train_iteration(ts, envs, env_params, model, config)
+
+        dt = timeit(train_it, ts, envs, iters=5)
+        report("ppo_train_vector", B, B * T, dt)
+
+        # 3. semantic camera render.
+        dt = timeit(lambda e: R.render_batch(e, env_params), envs)
+        report("seg_render", B, B, dt, unit="frames/sec")
+
+    # 4. latent-obs training at the default batch.
+    B, T = 1024 if not args.quick else 256, 128
+    from carla_ppo_tpu.models import vae_common
+
+    vae = vae_common.build_vae(64, "cnn", 1, source_shape=(80, 160, 1))
+    vae_vars = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 160, 1)), jax.random.PRNGKey(1), True
+    )
+    latent = ppo.LatentObs(vae_model=vae, source="seg")
+    config = ppo.PPOConfig(num_envs=B, horizon=T)
+    rng = jax.random.PRNGKey(0)
+    ts = ppo.create_train_state(model, config, latent.obs_dim, rng)
+    envs = ppo.init_env_batch(env_params, B, rng)
+
+    def train_latent(ts, envs):
+        return ppo.train_iteration(
+            ts, envs, env_params, model, config,
+            latent_obs=latent, vae_variables=vae_vars,
+        )
+
+    dt = timeit(train_latent, ts, envs, iters=3)
+    report("ppo_train_latent_frozen_vae", B, B * T, dt)
+
+    print(json.dumps({"all": results}))
+
+
+if __name__ == "__main__":
+    main()

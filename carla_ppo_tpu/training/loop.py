@@ -16,6 +16,7 @@ import shutil
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from carla_ppo_tpu.envs import route_env, route_planner, track as track_mod
@@ -37,6 +38,10 @@ class TrainerSettings:
     eval_interval: int = 5  # iterations between evals (train.py:258)
     record_eval: bool = False  # host video rendering (train.py:259-261)
     eval_envs: int = 4
+    # The lap episode only terminates after 3 laps (~3.5 km); a too-small cap
+    # truncates eval episodes of a slow-but-stable policy and under-reports
+    # laps/reward. 20k steps = ~11 sim-minutes.
+    eval_max_steps: int = 20_000
     checkpoint_interval: int = 25  # periodic safety checkpoint
     seed: int = 0
     track_seed: int = 0
@@ -123,6 +128,7 @@ class Trainer:
 
         self.best_eval_reward = -float("inf")
         self._eval_rng = jax.random.PRNGKey(settings.seed + 1)
+        self._nan_events = 0
 
     @property
     def iteration(self) -> int:
@@ -135,6 +141,7 @@ class Trainer:
             self.model,
             self._eval_rng,
             num_envs=self.settings.eval_envs,
+            max_steps=self.settings.eval_max_steps,
             config=self.config,
             latent_obs=self.latent_obs,
             vae_variables=self.vae_variables,
@@ -239,7 +246,7 @@ class Trainer:
                     self.checkpointer.save(it, self.train_state)  # best-only
                     # (reference: train.py:130-132)
 
-            self.train_state, self.env_states, m = ppo.train_iteration(
+            new_state, new_envs, m = ppo.train_iteration(
                 self.train_state,
                 self.env_states,
                 self.env_params,
@@ -249,6 +256,36 @@ class Trainer:
                 vae_variables=self.vae_variables,
             )
             metrics = {k: float(v) for k, v in m.items()}
+
+            # Failure detection: a non-finite loss poisons the params; roll
+            # back to the last checkpoint (or skip the update) instead of
+            # continuing. (The reference has no equivalent - a NaN would
+            # propagate silently; SURVEY.md section 5.)
+            if not np.isfinite(metrics["train_loss/loss"]):
+                self._nan_events += 1
+                self.writer.write_scalar("train/nan_events", self._nan_events, it)
+                print(
+                    f"Iteration {it}: non-finite loss detected; "
+                    f"rolling back ({self._nan_events} events)",
+                    flush=True,
+                )
+                restored = self.checkpointer.restore_latest(self.train_state)
+                if restored is not None:
+                    self.train_state = restored
+                # Fresh envs + new rng stream either way.
+                self.train_state = self.train_state.replace(
+                    rng=jax.random.fold_in(self.train_state.rng, it),
+                    iteration=jnp.int32(it + 1),
+                )
+                self.env_states = ppo.init_env_batch(
+                    self.env_params,
+                    self.config.num_envs,
+                    jax.random.fold_in(self.train_state.rng, 1),
+                    env_kind=self.config.env_kind,
+                )
+                continue
+
+            self.train_state, self.env_states = new_state, new_envs
             self.writer.write_scalars(metrics, it)
 
             if (

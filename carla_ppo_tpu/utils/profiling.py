@@ -1,0 +1,86 @@
+"""Profiling / tracing helpers.
+
+The reference's only perf observability is an FPS counter on the HUD
+(reference: hud.py:74-75) and an average-fps EMA for video timing
+(carla_lap_env.py:324-326). Here: jax.profiler trace capture (viewable in
+TensorBoard or Perfetto), phase timers, and steps/sec counters.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str) -> Iterator[None]:
+    """Capture a device profile (xplane) for the enclosed block.
+
+    View with: tensorboard --logdir <log_dir>  (Profile tab), or convert to
+    Perfetto. Usage:
+        with device_trace("models/m/profile"):
+            train_iteration(...)  # block_until_ready inside
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class PhaseTimer:
+    """Wall-clock phase accounting with steps/sec rates.
+
+    timer.phase("rollout") context-manages a named phase; `rates(n)` reports
+    n/second per phase plus totals.
+    """
+
+    def __init__(self) -> None:
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self, units_per_call: Optional[Dict[str, float]] = None) -> str:
+        lines = []
+        for name, total in sorted(self.totals.items()):
+            n = self.counts[name]
+            line = f"{name}: {total:.3f}s over {n} calls ({total / n * 1e3:.1f} ms/call)"
+            if units_per_call and name in units_per_call:
+                rate = units_per_call[name] * n / total
+                line += f", {rate:,.0f} units/s"
+            lines.append(line)
+        return "\n".join(lines)
+
+
+class ThroughputMeter:
+    """EMA steps/sec counter (the `average_fps` analog,
+    carla_lap_env.py:324-326, generalized)."""
+
+    def __init__(self, alpha: float = 0.1):
+        self.alpha = alpha
+        self.rate: Optional[float] = None
+        self._last: Optional[float] = None
+
+    def tick(self, units: float) -> float:
+        now = time.perf_counter()
+        if self._last is not None:
+            inst = units / max(now - self._last, 1e-9)
+            self.rate = (
+                inst
+                if self.rate is None
+                else (1 - self.alpha) * self.rate + self.alpha * inst
+            )
+        self._last = now
+        return self.rate or 0.0

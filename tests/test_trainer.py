@@ -1,0 +1,109 @@
+"""Trainer orchestration tests: checkpoint/resume semantics, metric flow,
+best-eval saving (reference behaviors: train.py:107-132, ppo.py:101-103)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_ppo_tpu.training import ppo
+from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
+
+
+@pytest.fixture()
+def small(tmp_path):
+    settings = TrainerSettings(
+        model_name="t0",
+        models_root=str(tmp_path),
+        num_iterations=3,
+        eval_interval=2,
+        eval_envs=2,
+        checkpoint_interval=2,
+        record_eval=False,
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+    return settings, config
+
+
+def test_train_loop_runs_and_checkpoints(small):
+    settings, config = small
+    trainer = Trainer(settings, config)
+    metrics = trainer.train()
+    assert trainer.iteration == 3
+    assert np.isfinite(metrics["train_loss/loss"])
+    # Eval at it=0 saved a best checkpoint; periodic at it=2.
+    assert trainer.checkpointer.latest_step() is not None
+    trainer.close()
+
+
+def test_resume_continues_counters(small):
+    settings, config = small
+    t1 = Trainer(settings, config)
+    t1.train()
+    assert t1.iteration == 3
+    t1.checkpointer.save(3, t1.train_state)
+    t1.close()
+
+    # Fresh trainer on the same dirs resumes at iteration 3 (reference resume:
+    # counters are part of the saved state, ppo.py:101-103 + train.py:111-118).
+    t2 = Trainer(settings, config)
+    assert t2.iteration == 3
+    # Params identical to what t1 ended with.
+    a = jax.tree.leaves(t1.train_state.params)[0]
+    b = jax.tree.leaves(t2.train_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.train(num_iterations=5)
+    assert t2.iteration == 5
+    t2.close()
+
+
+def test_restart_deletes_model_dir(small, tmp_path):
+    settings, config = small
+    t1 = Trainer(settings, config)
+    t1.train()
+    t1.checkpointer.save(99, t1.train_state)
+    t1.close()
+    t2 = Trainer(settings, config, restart=True)
+    assert t2.iteration == 0  # wiped (reference: train.py:107-110)
+    t2.close()
+
+
+def test_tensorboard_logs_written(small, tmp_path):
+    settings, config = small
+    trainer = Trainer(settings, config)
+    trainer.train()
+    trainer.close()
+    logs = os.listdir(trainer.log_dir)
+    assert any("tfevents" in f for f in logs)
+
+
+def test_nan_guard_rolls_back(small, monkeypatch):
+    """A poisoned iteration must not advance params (failure detection)."""
+    settings, config = small
+    settings = type(settings)(**{**settings.__dict__, "model_name": "t_nan",
+                                 "num_iterations": 2, "eval_interval": 100})
+    trainer = Trainer(settings, config)
+    import numpy as np
+
+    calls = {"n": 0}
+    real = ppo.train_iteration
+
+    def poisoned(*args, **kwargs):
+        ts, envs, m = real(*args, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            m = dict(m)
+            m["train_loss/loss"] = jnp.float32(np.nan)
+        return ts, envs, m
+
+    monkeypatch.setattr(ppo, "train_iteration", poisoned)
+    params_before = jax.tree.leaves(trainer.train_state.params)[0].copy()
+    trainer.train()
+    # First (poisoned) iteration skipped: only iteration 2's update applied;
+    # the run completed without propagating NaN.
+    leaf = jax.tree.leaves(trainer.train_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+    assert trainer._nan_events == 1
+    trainer.close()
