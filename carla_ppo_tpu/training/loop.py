@@ -117,8 +117,20 @@ class Trainer:
             self.env_params, config.num_envs, rng, env_kind=config.env_kind
         )
 
+        # Two checkpoint streams: `checkpoints/` holds best-eval models only
+        # (the reference's save-on-best behavior, train.py:130-132);
+        # `autosave/` holds periodic crash-recovery snapshots. They must be
+        # separate managers or the periodic saves garbage-collect the best.
         self.checkpointer = Checkpointer(self.checkpoint_dir)
-        restored = self.checkpointer.restore_latest(self.train_state)
+        self.autosaver = Checkpointer(os.path.join(self.model_dir, "autosave"))
+        restored = None
+        for ck in (self.autosaver, self.checkpointer):
+            candidate = ck.restore_latest(self.train_state)
+            if candidate is not None and (
+                restored is None
+                or int(candidate.iteration) > int(restored.iteration)
+            ):
+                restored = candidate
         if restored is not None:
             self.train_state = restored  # resume (reference: train.py:111-113)
 
@@ -269,7 +281,9 @@ class Trainer:
                     f"rolling back ({self._nan_events} events)",
                     flush=True,
                 )
-                restored = self.checkpointer.restore_latest(self.train_state)
+                restored = self.autosaver.restore_latest(
+                    self.train_state
+                ) or self.checkpointer.restore_latest(self.train_state)
                 if restored is not None:
                     self.train_state = restored
                 # Fresh envs + new rng stream either way.
@@ -292,7 +306,7 @@ class Trainer:
                 self.settings.checkpoint_interval > 0
                 and (it + 1) % self.settings.checkpoint_interval == 0
             ):
-                self.checkpointer.save(it + 1, self.train_state)
+                self.autosaver.save(it + 1, self.train_state)
         self.writer.flush()
         return metrics
 
@@ -301,3 +315,4 @@ class Trainer:
         if hasattr(self, "_video_env"):
             self._video_env.close()
         self.checkpointer.close()
+        self.autosaver.close()
