@@ -35,3 +35,11 @@ def test_pallas_after_driving(lap_params):
     ref = np.asarray(R.render_batch(states, lap_params))
     pal = np.asarray(render_batch_pallas(states, lap_params, interpret=True))
     assert (ref == pal).mean() > 0.97
+
+
+def test_pallas_v2_matches_reference(lap_params, batch):
+    from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v2
+
+    ref = np.asarray(R.render_batch(batch, lap_params))
+    v2 = np.asarray(render_batch_pallas_v2(batch, lap_params, interpret=True))
+    assert (ref == v2).mean() > 0.96
