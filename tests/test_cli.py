@@ -1,0 +1,73 @@
+"""CLI surface tests: parsers accept the reference's flag set; small
+end-to-end collect_data run."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_train_parser_reference_flags():
+    from carla_ppo_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args(
+        [
+            "--model_name", "m",
+            "--learning_rate", "1e-4",
+            "--lr_decay", "1.0",
+            "--discount_factor", "0.99",
+            "--gae_lambda", "0.95",
+            "--ppo_epsilon", "0.2",
+            "--initial_std", "1.0",
+            "--value_scale", "1.0",
+            "--entropy_scale", "0.01",
+            "--horizon", "128",
+            "--num_epochs", "3",
+            "--num_episodes", "0",
+            "--vae_model", "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data",
+            "--synchronous", "1",
+            "--fps", "30",
+            "--action_smoothing", "0.0",
+            "-start_carla",
+            "--reward_fn", "reward_speed_centering_angle_multiply",
+            "--seed", "0",
+            "--eval_interval", "5",
+            "-restart",
+        ]
+    )
+    assert args.model_name == "m"
+    assert args.restart is True
+    assert args.start_carla is True  # accepted for parity, ignored
+
+
+def test_train_parser_requires_model_name():
+    from carla_ppo_tpu.cli.train import build_parser
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args([])
+
+
+def test_collect_data_small(tmp_path):
+    from carla_ppo_tpu.cli import collect_data
+
+    out = str(tmp_path / "data")
+    collect_data.main(
+        [
+            "--output_dir", out,
+            "--num_images", "6",
+            "--num_tracks", "1",
+            "--save_every", "2",
+        ]
+    )
+    rgb = sorted(os.listdir(os.path.join(out, "rgb")))
+    seg = sorted(os.listdir(os.path.join(out, "segmentation")))
+    assert len(rgb) == 6 and len(seg) == 6
+    from PIL import Image
+
+    rgb_img = np.asarray(Image.open(os.path.join(out, "rgb", "0.png")))
+    seg_img = np.asarray(Image.open(os.path.join(out, "segmentation", "0.png")))
+    assert rgb_img.shape == (80, 160, 3)
+    # Class ids in the red channel, <= 12 (CARLA seg format).
+    assert seg_img[..., 0].max() <= 12
+    assert seg_img[..., 1].max() == 0
