@@ -279,8 +279,12 @@ class EnvParams:
     checkpoint_frequency: jax.Array = struct.field(
         default_factory=lambda: jnp.int32(50)
     )
+    # The reference has NO step limit: lap episodes end at 3 laps or a
+    # termination cause (carla_lap_env.py:392-395, reward_functions.py:21-55).
+    # Keep a far-out bound as a safety net only; a tight limit silently
+    # truncates good policies (3 laps at 17 km/h is ~22k steps).
     max_episode_steps: jax.Array = struct.field(
-        default_factory=lambda: jnp.int32(10_000)
+        default_factory=lambda: jnp.int32(1_000_000)
     )
     # Spawn jitter (domain randomization), meters / radians std.
     spawn_pos_noise: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))

@@ -40,8 +40,8 @@ class TrainerSettings:
     eval_envs: int = 4
     # The lap episode only terminates after 3 laps (~3.5 km); a too-small cap
     # truncates eval episodes of a slow-but-stable policy and under-reports
-    # laps/reward. 20k steps = ~11 sim-minutes.
-    eval_max_steps: int = 20_000
+    # laps/reward. 26k steps covers 3 laps at 15+ km/h.
+    eval_max_steps: int = 26_000
     checkpoint_interval: int = 25  # periodic safety checkpoint
     seed: int = 0
     track_seed: int = 0
