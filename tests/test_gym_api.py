@@ -97,3 +97,31 @@ def test_route_env_api(route_env_obj):
     assert np.isfinite(obs).all()
     arr = route_env_obj.render("rgb_array")
     assert arr.shape == (720, 1280, 3)
+
+
+def test_gymnasium_lap_env_api():
+    from carla_ppo_tpu.envs.gymnasium_api import LapEnvGymnasium
+
+    env = LapEnvGymnasium(render_mode="rgb_array")
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (18,)
+    assert "laps_completed" in info
+    obs, reward, terminated, truncated, info = env.step(np.array([0.0, 1.0]))
+    assert isinstance(reward, float)
+    assert not terminated and not truncated
+    frame = env.render()
+    assert frame.shape == (80, 160, 3) and frame.dtype == np.uint8
+    # Gymnasium env checker-ish basics.
+    assert env.action_space.contains(np.array([0.5, 0.5], np.float32))
+    assert env.observation_space.contains(obs)
+
+
+def test_gymnasium_route_env_api():
+    from carla_ppo_tpu.envs.gymnasium_api import RouteEnvGymnasium
+
+    env = RouteEnvGymnasium(num_routes=4)
+    obs, info = env.reset(seed=1)
+    assert obs.shape == (18,)
+    for _ in range(3):
+        obs, reward, terminated, truncated, info = env.step(np.array([0.0, 1.0]))
+    assert np.isfinite(obs).all()
