@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# `python benchmarks/sweep.py` puts benchmarks/ on sys.path, not the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
