@@ -104,8 +104,14 @@ def step(
 
     rng, k_route = jax.random.split(state.rng)
     new_route_id = jax.random.randint(k_route, (), 0, _num_routes(bank))
+    # Reset the low-speed timer: the chained route starts from standstill and
+    # deserves its 5 s grace period. (In the reference the episode-global
+    # timer keeps running, so the very first step after a route completes
+    # trips "Vehicle stopped" - its routes_completed effectively caps at ~1.0;
+    # a quirk we fix rather than replicate.)
     switched = _spawn_on_route(state, bank, new_route_id).replace(
-        num_routes_completed=state.num_routes_completed + 1
+        num_routes_completed=state.num_routes_completed + 1,
+        low_speed_timer=jnp.float32(0.0),
     )
     state = jax.tree.map(
         lambda new, old: jnp.where(route_done, new, old), switched, state

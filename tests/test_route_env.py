@@ -132,3 +132,21 @@ def test_vmap_batch(rparams):
     )(states, actions)
     assert outs.obs.shape == (B, 18)
     assert bool(jnp.all(jnp.isfinite(outs.obs)))
+
+
+def test_route_chaining_resets_low_speed_grace(rparams, bank):
+    """Completing a route teleports to a standstill start; the low-speed
+    timer must restart or the episode dies instantly (a reference quirk we
+    fix; see route_env.step)."""
+    s = route_env.reset(rparams, jax.random.PRNGKey(7))
+    rid = int(s.route_id)
+    end_idx = int(bank.length[rid]) - 1
+    s = s.replace(
+        waypoint_idx=jnp.int32(end_idx),
+        low_speed_timer=jnp.float32(60.0),  # long successful episode
+        vehicle=s.vehicle.replace(vx=jnp.float32(6.0)),
+    )
+    s2, out = route_env.step(s, jnp.array([0.0, 1.0]), rparams)
+    assert int(s2.num_routes_completed) == 1
+    assert not bool(out.done)  # fresh grace period, no instant kill
+    assert float(s2.low_speed_timer) < 1.0
