@@ -1,0 +1,84 @@
+"""End-to-end pixel pipeline tests (config 4: joint VAE+PPO)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+from carla_ppo_tpu.training import pixels, ppo
+
+
+@pytest.fixture(scope="module")
+def model():
+    return PixelActorCritic()
+
+
+@pytest.fixture(scope="module")
+def setup(model, lap_params):
+    config = ppo.PPOConfig(horizon=4, num_envs=4, num_minibatches=2)
+    rng = jax.random.PRNGKey(0)
+    ts = pixels.create_pixel_train_state(model, config, rng)
+    envs = ppo.init_env_batch(lap_params, 4, rng)
+    return config, ts, envs
+
+
+def test_policy_value_no_decoder(model, setup):
+    config, ts, envs = setup
+    frames = jnp.zeros((2, 80, 160, 1))
+    meas = jnp.zeros((2, 3))
+    mean, std, value = model.apply(
+        ts.params, frames, meas, method=model.policy_value
+    )
+    assert mean.shape == (2, 2)
+    assert float(mean[0, 0]) >= -1.0 and float(mean[0, 1]) >= 0.0
+    np.testing.assert_allclose(np.asarray(std), 1.0, rtol=1e-5)
+
+
+def test_full_call_returns_recon(model, setup):
+    config, ts, envs = setup
+    frames = jax.random.uniform(jax.random.PRNGKey(1), (2, 80, 160, 1))
+    meas = jnp.zeros((2, 3))
+    mean, std, value, aux = model.apply(
+        ts.params, frames, meas, jax.random.PRNGKey(2)
+    )
+    assert aux["recon_logits"].shape == (2, 80 * 160)
+    assert aux["z_mean"].shape == (2, 64)
+
+
+def test_act_clips(model, setup):
+    config, ts, envs = setup
+    frames = jnp.zeros((8, 80, 160, 1))
+    meas = jnp.zeros((8, 3))
+    a, logp, v = model.act(ts.params, frames, meas, jax.random.PRNGKey(3))
+    assert float(a[:, 0].min()) >= -1.0 and float(a[:, 1].min()) >= 0.0
+    assert logp.shape == (8,)
+
+
+def test_pixel_train_iteration(model, setup, lap_params):
+    config, ts, envs = setup
+    ts2, envs2, m = pixels.pixel_train_iteration(
+        ts, envs, lap_params, model, config
+    )
+    assert int(ts2.iteration) == 1
+    for k, v in m.items():
+        assert bool(jnp.isfinite(v)), k
+    assert "train_loss/vae_recon" in m
+    # Frames stored as uint8 class ids (memory layout contract).
+    _, traj, _, _ = pixels.pixel_rollout(
+        model, ts.params, envs, lap_params, jax.random.PRNGKey(0), config,
+        pixels.PixelConfig(),
+    )
+    assert traj.frames.dtype == jnp.uint8
+    assert int(traj.frames.max()) <= 12
+
+
+def test_pixel_no_decoder_mode(lap_params):
+    model = PixelActorCritic(with_decoder=False)
+    config = ppo.PPOConfig(horizon=4, num_envs=4, num_minibatches=2)
+    rng = jax.random.PRNGKey(0)
+    ts = pixels.create_pixel_train_state(model, config, rng)
+    envs = ppo.init_env_batch(lap_params, 4, rng)
+    ts2, _, m = pixels.pixel_train_iteration(ts, envs, lap_params, model, config)
+    assert "train_loss/vae_recon" not in m
+    assert bool(jnp.isfinite(m["train_loss/loss"]))
