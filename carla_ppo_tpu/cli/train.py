@@ -21,6 +21,11 @@ from carla_ppo_tpu.training import ppo
 from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
 
 
+def bool_flag(v: str) -> bool:
+    """argparse-friendly 0/1 boolean (named so errors read sensibly)."""
+    return bool(int(v))
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Trains a driving agent with PPO on the on-device simulator"
@@ -41,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Minibatches per epoch (the batch-size analog)")
     parser.add_argument("--num_episodes", type=int, default=0,
                         help="Training iterations; <= 0 trains forever")
+    parser.add_argument("--max_grad_norm", type=float, default=0.0,
+                        help="Global gradient-norm clip; 0 disables "
+                             "(the reference clips nothing)")
+    parser.add_argument("--normalize_rewards", type=bool_flag,
+                        default=False,
+                        help="VecNormalize-style reward scaling (config 3)")
 
     # VAE parameters (reference: train.py:238-242).
     parser.add_argument("--vae_model", type=str, default=None,
@@ -67,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
                         default="reward_speed_centering_angle_multiply")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--eval_interval", type=int, default=5)
-    parser.add_argument("--record_eval", type=lambda v: bool(int(v)), default=False,
+    parser.add_argument("--record_eval", type=bool_flag, default=False,
                         help="Record greedy-eval videos to models/<name>/videos")
     parser.add_argument("-restart", action="store_true",
                         help="Delete existing model dir before training")
@@ -98,6 +109,8 @@ def main(argv=None) -> None:
         num_envs=params["num_envs"],
         num_minibatches=params["num_minibatches"],
         env_kind=params["env"],
+        max_grad_norm=params["max_grad_norm"],
+        normalize_rewards=params["normalize_rewards"],
     )
     settings = TrainerSettings(
         model_name=params["model_name"],

@@ -208,6 +208,12 @@ class EnvState:
     center_lane_deviation: jax.Array  # [] float32 (sum of per-step deviation)
     speed_accum: jax.Array  # [] float32 (sum of per-step speed, m/s)
     laps_completed: jax.Array  # [] float32 (fraction; route env: routes)
+    # Per-env discounted-return estimate for VecNormalize-style reward
+    # scaling (ops/running_stats); lives here (per-env state) so the
+    # checkpointed TrainState stays shape-stable across env-batch sizes.
+    vecnorm_return: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
 
 
 class TerminationReason(enum.IntEnum):

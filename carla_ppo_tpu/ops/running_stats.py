@@ -50,29 +50,22 @@ def update_moments(m: RunningMoments, batch: Array) -> RunningMoments:
     return RunningMoments(mean=new_mean, var=new_var, count=tot)
 
 
-@struct.dataclass
-class RewardNormState:
-    returns: Array  # [B] per-env discounted return estimate
-    moments: RunningMoments
-
-    @classmethod
-    def create(cls, num_envs: int) -> "RewardNormState":
-        return cls(
-            returns=jnp.zeros((num_envs,), jnp.float32),
-            moments=RunningMoments.create(),
-        )
-
-
 def normalize_rewards(
-    state: RewardNormState,
+    moments: RunningMoments,
+    returns: Array,  # [B] per-env discounted-return carry (EnvState.vecnorm_return)
     rewards: Array,  # [T, B]
     dones: Array,  # [T, B]
     gamma: float,
     clip: float = 10.0,
     eps: float = 1e-8,
-) -> Tuple[Array, RewardNormState]:
-    """Scale a rollout's rewards by the running return std; returns
-    (normalized [T, B], new state)."""
+) -> Tuple[Array, RunningMoments, Array]:
+    """Scale a rollout's rewards by the running return std.
+
+    Returns (normalized [T, B], new moments, new per-env returns). The
+    per-env return accumulator lives in EnvState so the checkpointed
+    training state stays shape-stable across env-batch sizes; the scalar
+    moments are the only cross-iteration statistics.
+    """
 
     def scan_fn(ret, x):
         r, d = x
@@ -80,9 +73,9 @@ def normalize_rewards(
         return ret, ret
 
     ret_final, rets = jax.lax.scan(
-        scan_fn, state.returns, (rewards, dones.astype(rewards.dtype))
+        scan_fn, returns, (rewards, dones.astype(rewards.dtype))
     )
-    moments = update_moments(state.moments, rets)
+    moments = update_moments(moments, rets)
     scale = 1.0 / jnp.sqrt(moments.var + eps)
     normalized = jnp.clip(rewards * scale, -clip, clip)
-    return normalized, RewardNormState(returns=ret_final, moments=moments)
+    return normalized, moments, ret_final

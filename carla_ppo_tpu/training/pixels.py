@@ -255,6 +255,8 @@ def create_pixel_train_state(
     model: PixelActorCritic, config: PPOConfig, rng: Array
 ) -> TrainState:
     h, w, c = model.frame_shape
+    from carla_ppo_tpu.ops.running_stats import RunningMoments
+
     params = model.init(
         rng,
         jnp.zeros((1, h, w, c), jnp.float32),
@@ -270,5 +272,5 @@ def create_pixel_train_state(
         total_env_steps=jnp.float32(0.0),
         episodes_done=jnp.int32(0),
         rng=rng,
-        reward_norm=None,
+        reward_norm=RunningMoments.create(),
     )

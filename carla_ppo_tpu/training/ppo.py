@@ -137,7 +137,10 @@ class TrainState:
     total_env_steps: Array  # [] int64-ish float for logging
     episodes_done: Array  # [] int32 cumulative finished episodes
     rng: Array
-    # Running reward-normalization state (used when config.normalize_rewards).
+    # Scalar running moments for reward normalization. ALWAYS present (a
+    # 3-scalar no-op when config.normalize_rewards is off) so the checkpoint
+    # pytree structure is identical across configs - models stay loadable by
+    # eval/inspect tools and resumable after flag changes.
     reward_norm: Any = None
 
 
@@ -158,10 +161,13 @@ def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
         decay_rate=config.lr_decay,
         staircase=True,
     )
-    tx = optax.adam(schedule, eps=1e-8)
-    if config.max_grad_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(config.max_grad_norm), tx)
-    return tx
+    # Always chain the clip (a no-op at a huge threshold when disabled) so the
+    # optimizer-state pytree structure is invariant to max_grad_norm - orbax
+    # restore templates built from a default config must match any checkpoint.
+    clip = config.max_grad_norm if config.max_grad_norm > 0 else 1e9
+    return optax.chain(
+        optax.clip_by_global_norm(clip), optax.adam(schedule, eps=1e-8)
+    )
 
 
 def create_train_state(
@@ -169,13 +175,9 @@ def create_train_state(
 ) -> TrainState:
     params = model.init(rng, jnp.zeros((1, obs_dim), jnp.float32))
     opt_state = make_optimizer(config).init(params)
-    from carla_ppo_tpu.ops.running_stats import RewardNormState
+    from carla_ppo_tpu.ops.running_stats import RunningMoments
 
-    reward_norm = (
-        RewardNormState.create(config.num_envs)
-        if config.normalize_rewards
-        else None
-    )
+    reward_norm = RunningMoments.create()
     return TrainState(
         params=params,
         opt_state=opt_state,
@@ -351,11 +353,17 @@ def train_iteration_core(
     if config.normalize_rewards:
         from carla_ppo_tpu.ops import running_stats
 
-        # Per-device running stats in dp mode (each device normalizes its own
-        # shard; the scales converge to the same value quickly).
-        rewards, reward_norm = running_stats.normalize_rewards(
-            reward_norm, rewards, traj.dones, config.discount_factor
+        rewards, reward_norm, ret_carry = running_stats.normalize_rewards(
+            reward_norm, env_states.vecnorm_return, rewards, traj.dones,
+            config.discount_factor,
         )
+        env_states = env_states.replace(vecnorm_return=ret_carry)
+        if axis_name is not None:
+            # Keep the (replicated) moments identical across devices; the
+            # per-env return carries stay shard-local in EnvState.
+            reward_norm = jax.tree.map(
+                lambda x: jax.lax.pmean(x, axis_name), reward_norm
+            )
 
     gae_fn = gae.compute_gae_associative if config.use_associative_gae else gae.compute_gae
     advantages = gae_fn(

@@ -93,3 +93,26 @@ def test_entry_compiles():
     mean, std, value = out
     assert mean.shape == (1024, 2)
     assert value.shape == (1024,)
+
+
+def test_dp_with_reward_normalization(setup):
+    """normalize_rewards under shard_map: per-env return carries live in the
+    sharded EnvState, moments stay replicated via pmean."""
+    env_params, model, _, _, envs = setup
+    config = ppo.PPOConfig(
+        horizon=8, num_envs=16, num_minibatches=2, normalize_rewards=True,
+        max_grad_norm=0.5,
+    )
+    ts = ppo.create_train_state(model, config, vector_obs_dim(), jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    ts = train_dp.replicate(ts, mesh)
+    envs = train_dp.shard_env_batch(envs, mesh)
+    step = train_dp.make_dp_train_iteration(mesh, model, config, env_params)
+    ts2, envs2, metrics = step(ts, envs)
+    assert all(bool(jnp.isfinite(v)) for v in metrics.values())
+    assert float(ts2.reward_norm.count) > 1.0
+    # Moments replicated identically across devices.
+    leaf = ts2.reward_norm.var
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

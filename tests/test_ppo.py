@@ -207,3 +207,62 @@ def test_learning_improves_reward(lap_params, model):
         if i >= 25:
             last_rewards.append(r)
     assert np.mean(last_rewards) > np.mean(first_rewards)
+
+
+def test_checkpoint_structure_invariant_to_flags(lap_params, model, tmp_path):
+    """Checkpoints must load under a default-config template regardless of
+    max_grad_norm / normalize_rewards at train time (eval/inspect tools build
+    templates from default configs)."""
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+    from carla_ppo_tpu.utils.checkpoint import Checkpointer
+
+    rng = jax.random.PRNGKey(0)
+    flagged = ppo_mod.PPOConfig(
+        horizon=8, num_envs=4, num_minibatches=2,
+        max_grad_norm=0.5, normalize_rewards=True,
+    )
+    ts = ppo_mod.create_train_state(model, flagged, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, 4, rng)
+    ts, envs, m = ppo_mod.train_iteration(ts, envs, lap_params, model, flagged)
+    assert bool(jnp.isfinite(m["train_loss/loss"]))
+    # Reward scaling actually ran: moments moved off their init.
+    assert float(ts.reward_norm.count) > 1.0
+
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(1, ts)
+    default_cfg = ppo_mod.PPOConfig(horizon=8, num_envs=16, num_minibatches=2)
+    template = ppo_mod.create_train_state(
+        model, default_cfg, vector_obs_dim(), rng
+    )
+    restored = ck.restore_latest(template)
+    assert restored is not None
+    assert int(restored.iteration) == 1
+    ck.close()
+
+
+def test_grad_clipping_bounds_update(lap_params, model):
+    """With a tiny max_grad_norm the parameter step must shrink."""
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    rng = jax.random.PRNGKey(0)
+
+    def step_size(cfg):
+        ts = ppo_mod.create_train_state(model, cfg, vector_obs_dim(), rng)
+        envs = ppo_mod.init_env_batch(lap_params, 4, rng)
+        ts2, _, _ = ppo_mod.train_iteration(ts, envs, lap_params, model, cfg)
+        return float(
+            sum(
+                jnp.abs(a - b).sum()
+                for a, b in zip(
+                    jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)
+                )
+            )
+        )
+
+    free = step_size(ppo_mod.PPOConfig(horizon=8, num_envs=4, num_minibatches=2))
+    clipped = step_size(
+        ppo_mod.PPOConfig(
+            horizon=8, num_envs=4, num_minibatches=2, max_grad_norm=1e-4
+        )
+    )
+    assert clipped < free
