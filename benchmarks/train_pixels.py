@@ -1,0 +1,87 @@
+"""Long-run driver for the end-to-end pixel config (config 4).
+
+Standalone because the pixel pipeline has its own train state/iteration
+(training/pixels.py); checkpoints periodically so partial progress survives.
+
+Usage: python benchmarks/train_pixels.py --iterations 2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iterations", type=int, default=1500)
+    parser.add_argument("--num_envs", type=int, default=256)
+    parser.add_argument("--horizon", type=int, default=128)
+    parser.add_argument("--learning_rate", type=float, default=3e-4)
+    parser.add_argument("--max_grad_norm", type=float, default=0.5)
+    parser.add_argument("--vae_scale", type=float, default=1e-4)
+    parser.add_argument("--model_dir", type=str, default="models/pixel_agent")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    from carla_ppo_tpu.envs import track
+    from carla_ppo_tpu.envs.types import EnvParams
+    from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+    from carla_ppo_tpu.training import pixels, ppo
+    from carla_ppo_tpu.utils.checkpoint import Checkpointer
+    from carla_ppo_tpu.utils.metrics import MetricsWriter
+
+    model = PixelActorCritic()
+    config = ppo.PPOConfig(
+        num_envs=args.num_envs,
+        horizon=args.horizon,
+        num_minibatches=8,
+        learning_rate=args.learning_rate,
+        max_grad_norm=args.max_grad_norm,
+    )
+    pix = pixels.PixelConfig(vae_scale=args.vae_scale)
+    env_params = EnvParams(track=track.make_lap_track(seed=0))
+
+    rng = jax.random.PRNGKey(args.seed)
+    ts = pixels.create_pixel_train_state(model, config, rng)
+    envs = ppo.init_env_batch(env_params, args.num_envs, rng)
+
+    ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
+    restored = ckpt.restore_latest(ts)
+    if restored is not None:
+        ts = restored
+        print(f"resumed at iteration {int(ts.iteration)}", flush=True)
+    writer = MetricsWriter(os.path.join(args.model_dir, "logs"))
+
+    t0 = time.time()
+    while int(ts.iteration) < args.iterations:
+        ts, envs, m = pixels.pixel_train_iteration(
+            ts, envs, env_params, model, config, pix
+        )
+        it = int(ts.iteration)
+        writer.write_scalars({k: float(v) for k, v in m.items()}, it)
+        if it % 25 == 0:
+            print(
+                f"iter {it}: reward {float(m['train/reward']):8.1f} "
+                f"dist {float(m['train/distance_traveled']):6.1f} "
+                f"laps {float(m['train/laps_completed']):.3f} "
+                f"recon {float(m['train_loss/vae_recon']):7.0f} "
+                f"({(time.time() - t0) / max(it, 1):.2f} s/iter)",
+                flush=True,
+            )
+        if it % 100 == 0:
+            ckpt.save(it, ts)
+    ckpt.save(int(ts.iteration), ts)
+    writer.close()
+    ckpt.close()
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
