@@ -70,6 +70,7 @@ class LapEnvGymnasium(gymnasium.Env):
         }
 
     def reset(self, *, seed: Optional[int] = None, options=None):
+        super().reset(seed=seed)  # seeds gymnasium's np_random bookkeeping
         if seed is not None:
             self._rng = jax.random.PRNGKey(seed)
         self._rng, key = jax.random.split(self._rng)

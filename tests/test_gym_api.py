@@ -125,3 +125,13 @@ def test_gymnasium_route_env_api():
     for _ in range(3):
         obs, reward, terminated, truncated, info = env.step(np.array([0.0, 1.0]))
     assert np.isfinite(obs).all()
+
+
+def test_gymnasium_env_checker():
+    """Gymnasium's official env checker passes on the lap adapter."""
+    from gymnasium.utils.env_checker import check_env
+
+    from carla_ppo_tpu.envs.gymnasium_api import LapEnvGymnasium
+
+    env = LapEnvGymnasium(render_mode="rgb_array")
+    check_env(env, skip_render_check=False)
