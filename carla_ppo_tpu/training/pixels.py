@@ -40,6 +40,56 @@ class PixelConfig:
     beta: float = 1.0
     kl_tolerance: float = 0.0
     cam: rasterizer.CameraConfig = rasterizer.CameraConfig()
+    # Per-group gradient clipping. A single global clip lets the conv/VAE
+    # gradient mass scale the policy-head gradients toward zero (measured:
+    # clipped joint runs stall, unclipped runs collapse ~iteration 400);
+    # clipping the policy/value heads and the encoder/decoder separately
+    # keeps both learning. <= 0 disables a group's clip.
+    policy_grad_norm: float = 0.5
+    encoder_grad_norm: float = 5.0
+
+
+_POLICY_TOPLEVEL = ("pi", "action_mean", "vf", "value", "action_logstd")
+
+
+def make_pixel_optimizer(config: PPOConfig, pix: PixelConfig):
+    """Two-group optimizer: policy/value heads vs conv encoder/decoder,
+    each with its own gradient-norm clip, sharing the adam schedule."""
+    import optax as _optax
+
+    schedule = _optax.exponential_decay(
+        init_value=config.learning_rate,
+        transition_steps=config.updates_per_iteration,
+        decay_rate=config.lr_decay,
+        staircase=True,
+    )
+
+    def group_tx(clip_norm):
+        clip = clip_norm if clip_norm > 0 else 1e9
+        return _optax.chain(
+            _optax.clip_by_global_norm(clip), _optax.adam(schedule, eps=1e-8)
+        )
+
+    def label_fn(params):
+        def label_tree(tree, label):
+            return jax.tree.map(lambda _: label, tree)
+
+        return {
+            "params": {
+                k: label_tree(
+                    v, "policy" if k in _POLICY_TOPLEVEL else "encoder"
+                )
+                for k, v in params["params"].items()
+            }
+        }
+
+    return _optax.multi_transform(
+        {
+            "policy": group_tx(pix.policy_grad_norm),
+            "encoder": group_tx(pix.encoder_grad_norm),
+        },
+        label_fn,
+    )
 
 
 @struct.dataclass
@@ -205,7 +255,7 @@ def pixel_train_iteration(
         "advantages": advantages.reshape(n),
     }
 
-    tx = make_optimizer(config)
+    tx = make_pixel_optimizer(config, pix)
 
     def minibatch_step(carry, xs):
         params, opt_state = carry
@@ -252,7 +302,10 @@ def pixel_train_iteration(
 
 
 def create_pixel_train_state(
-    model: PixelActorCritic, config: PPOConfig, rng: Array
+    model: PixelActorCritic,
+    config: PPOConfig,
+    rng: Array,
+    pix: PixelConfig = PixelConfig(),
 ) -> TrainState:
     h, w, c = model.frame_shape
     from carla_ppo_tpu.ops.running_stats import RunningMoments
@@ -263,7 +316,7 @@ def create_pixel_train_state(
         jnp.zeros((1, model.num_measurements), jnp.float32),
         jax.random.PRNGKey(0),
     )
-    opt_state = make_optimizer(config).init(params)
+    opt_state = make_pixel_optimizer(config, pix).init(params)
     return TrainState(
         params=params,
         opt_state=opt_state,
