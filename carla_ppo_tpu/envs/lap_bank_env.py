@@ -80,21 +80,26 @@ def autoreset_step(
     params: EnvParams,
     obs_fn: str = "vector",
 ) -> Tuple[EnvState, StepOutput]:
-    """Auto-reset on the SAME track (checkpoint respawn semantics hold)."""
-    rng, reset_rng = jax.random.split(state.rng)
+    """Reset-within-step auto-reset on the SAME track (checkpoint respawn
+    semantics hold; see lap_env.autoreset_step for the boundary contract)."""
+    next_state, out = step(state, action, params, obs_fn=obs_fn)
+    rng, reset_rng = jax.random.split(next_state.rng)
     fresh = reset(
         params,
         reset_rng,
         is_training=state.is_training,
-        checkpoint_idx=state.checkpoint_idx,
-        track_id=state.route_id,
+        checkpoint_idx=next_state.checkpoint_idx,
+        track_id=next_state.route_id,
     )
-    base = jax.tree.map(
-        lambda a, b: jnp.where(state.terminal, a, b),
+    next_state = jax.tree.map(
+        lambda f, n: jnp.where(out.done, f, n),
         fresh,
-        state.replace(rng=rng),
+        next_state.replace(rng=rng),
     )
-    return step(base, action, params, obs_fn=obs_fn)
+    out = out.replace(
+        obs=jnp.where(out.done, observe(fresh, params, obs_fn), out.obs)
+    )
+    return next_state, out
 
 
 def observe(state: EnvState, params: EnvParams, obs_fn: str = "vector") -> Array:

@@ -18,8 +18,10 @@ Semantics parity map (reference file:line -> here):
   derived fields directly (no 2 s physics settle needed: spawn is exact)
 
 Auto-reset: under vmap there is no Python episode loop, so `autoreset_step`
-resets any env whose previous step latched `terminal`, carrying the persistent
-checkpoint index across the reset like the reference's env object does.
+re-spawns an env within the step that terminates it (reset-within-step):
+done/reward/metrics describe the finished episode while StepOutput.obs is the
+new episode's first observation, and the persistent checkpoint index carries
+across the reset like the reference's env object does.
 """
 
 from __future__ import annotations
@@ -305,26 +307,35 @@ def autoreset_step(
     params: EnvParams,
     obs_fn: str = "vector",
 ) -> Tuple[EnvState, StepOutput]:
-    """Step with branchless auto-reset.
+    """Step with reset-within-step auto-reset (gymnax semantics).
 
-    If the incoming state is terminal, the env is re-spawned (keeping the
-    persistent checkpoint index and training flag, like the reference's env
-    object does between episodes) and the *reset* state is stepped. The
-    returned StepOutput therefore always reflects a live transition.
+    The action is applied to the incoming live state. If that step ends the
+    episode, the env is immediately re-spawned (keeping the persistent
+    checkpoint index and training flag, like the reference's env object does
+    between episodes) and the returned `StepOutput.obs` is the NEW episode's
+    first observation, while done/reward/metric snapshots still describe the
+    finished episode. The next policy action therefore acts on the state it
+    observed - a rollout never pairs an old episode's terminal observation
+    with the new episode's transition (the reference breaks its Python loop
+    at terminal and calls reset() explicitly; this is the branchless analog).
     """
-    rng, reset_rng = jax.random.split(state.rng)
+    next_state, out = step(state, action, params, obs_fn=obs_fn)
+    rng, reset_rng = jax.random.split(next_state.rng)
     fresh = reset(
         params,
         reset_rng,
         is_training=state.is_training,
-        checkpoint_idx=state.checkpoint_idx,
+        checkpoint_idx=next_state.checkpoint_idx,
     )
-    base = jax.tree.map(
-        lambda a, b: jnp.where(state.terminal, a, b),
+    next_state = jax.tree.map(
+        lambda f, n: jnp.where(out.done, f, n),
         fresh,
-        state.replace(rng=rng),
+        next_state.replace(rng=rng),
     )
-    return step(base, action, params, obs_fn=obs_fn)
+    out = out.replace(
+        obs=jnp.where(out.done, observe(fresh, params, obs_fn), out.obs)
+    )
+    return next_state, out
 
 
 def observe(state: EnvState, params: EnvParams, obs_fn: str = "vector") -> Array:

@@ -138,15 +138,21 @@ def autoreset_step(
     params: EnvParams,
     obs_fn: str = "vector",
 ) -> Tuple[EnvState, StepOutput]:
-    """Step with branchless episode auto-reset (terminal -> fresh episode)."""
-    rng, reset_rng = jax.random.split(state.rng)
+    """Step with reset-within-step auto-reset (see lap_env.autoreset_step):
+    a terminating step immediately re-spawns on a fresh random route and
+    returns the new episode's first observation in StepOutput.obs."""
+    next_state, out = step(state, action, params, obs_fn=obs_fn)
+    rng, reset_rng = jax.random.split(next_state.rng)
     fresh = reset(params, reset_rng, is_training=state.is_training)
-    base = jax.tree.map(
-        lambda a, b: jnp.where(state.terminal, a, b),
+    next_state = jax.tree.map(
+        lambda f, n: jnp.where(out.done, f, n),
         fresh,
-        state.replace(rng=rng),
+        next_state.replace(rng=rng),
     )
-    return step(base, action, params, obs_fn=obs_fn)
+    out = out.replace(
+        obs=jnp.where(out.done, observe(fresh, params, obs_fn), out.obs)
+    )
+    return next_state, out
 
 
 def observe(state: EnvState, params: EnvParams, obs_fn: str = "vector") -> Array:

@@ -4,9 +4,10 @@ The route config trains with normalized rewards over the vectorized env batch
 (BASELINE.json config 3 "vecnorm rewards"); the reference has no vectorized
 envs so this is a new, owned component. Semantics follow the standard
 VecNormalize recipe: maintain a per-env discounted return estimate
-R_t = gamma * R_{t-1} * (1 - done) + r_t, track its running variance, and
-scale rewards by 1/sqrt(var + eps) (no mean subtraction - shifting rewards
-changes the optimal policy).
+R_t = gamma * R_{t-1} + r_t (carry zeroed AFTER the terminal step so the
+terminal reward counts toward its own episode), track its running variance,
+and scale rewards by 1/sqrt(var + eps) (no mean subtraction - shifting
+rewards changes the optimal policy).
 
 Pure functions over an explicit state pytree; Welford-style batched moment
 merging so the update is one pass over the [T, B] reward block.
@@ -68,9 +69,13 @@ def normalize_rewards(
     """
 
     def scan_fn(ret, x):
+        # Accumulate first, then zero the carry where done: a terminal step's
+        # reward (notably the flat -10 penalty) contributes to its OWN
+        # episode's return sample before the carry resets for the next
+        # episode (standard VecNormalize order).
         r, d = x
-        ret = ret * gamma * (1.0 - d) + r
-        return ret, ret
+        ret = ret * gamma + r
+        return ret * (1.0 - d), ret
 
     ret_final, rets = jax.lax.scan(
         scan_fn, returns, (rewards, dones.astype(rewards.dtype))

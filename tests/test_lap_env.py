@@ -110,20 +110,32 @@ def test_action_smoothing(lap_params):
 
 
 def test_autoreset(lap_params):
-    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    """Reset-within-step: the step that terminates re-spawns the env at the
+    checkpoint and returns the NEW episode's first obs while done/metrics
+    describe the finished episode (no stale boundary observation)."""
+    s = lap_env.reset(
+        lap_params, jax.random.PRNGKey(0), checkpoint_idx=jnp.int32(100)
+    )
+    # Push the vehicle far off-track so this step terminates (OFF_TRACK).
     s = s.replace(
-        terminal=jnp.bool_(True),
-        checkpoint_idx=jnp.int32(100),
-        total_reward=jnp.float32(-50.0),
+        vehicle=s.vehicle.replace(pos=s.vehicle.pos + jnp.asarray([0.0, 10.0])),
         distance_traveled=jnp.float32(123.0),
     )
     s2, out = lap_env.autoreset_step(s, jnp.array([0.0, 1.0]), lap_params)
-    # Fresh episode: metrics restarted, spawned at the checkpoint.
-    assert int(s2.step_count) == 1
+    assert bool(out.done)
+    # StepOutput metrics snapshot the FINISHED episode...
+    assert float(out.distance_traveled) > 100.0
+    # ...while the carried state is a fresh spawn at the checkpoint.
+    assert int(s2.step_count) == 0
     assert float(s2.distance_traveled) < 1.0
     assert int(s2.start_waypoint_idx) == 100
     assert int(s2.checkpoint_idx) == 100
     assert not bool(s2.terminal)
+    # The returned obs belongs to the new episode, not the terminal state.
+    np.testing.assert_allclose(
+        np.asarray(out.obs), np.asarray(lap_env.observe(s2, lap_params)),
+        atol=1e-6,
+    )
 
 
 def test_autoreset_noop_when_alive(lap_params):

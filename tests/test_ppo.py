@@ -169,6 +169,28 @@ def test_train_iteration_deterministic(lap_params, model, small_config):
     assert float(m1["train_loss/loss"]) == float(m2["train_loss/loss"])
 
 
+def test_rollout_boundary_obs_is_new_episode(lap_params, model, variables):
+    """Regression: the trajectory row after a terminal step must hold the NEW
+    episode's first observation (reset-within-step), not the finished
+    episode's terminal observation paired with the new episode's reward."""
+    config = ppo_mod.PPOConfig(horizon=12, num_envs=4)
+    params = lap_params.replace(max_episode_steps=jnp.int32(5))
+    envs = ppo_mod.init_env_batch(params, 4, jax.random.PRNGKey(0))
+    _, traj, _, _ = ppo_mod.rollout(
+        model, variables, envs, params, jax.random.PRNGKey(1), 12, config
+    )
+    dones = np.asarray(traj.dones)
+    obs = np.asarray(traj.obs)
+    assert dones.sum() > 0
+    t_idx, b_idx = np.nonzero(dones[:-1])
+    for t, b in zip(t_idx, b_idx):
+        # A fresh spawn has zero speed and zero controls (obs features 2:5);
+        # the old episode's 5th step cannot (throttle was sampled ~N(0,1)).
+        assert abs(obs[t + 1, b, 2]) < 1e-5, (t, b)  # speed feature
+        assert abs(obs[t + 1, b, 3]) < 1e-5, (t, b)  # steer control
+        assert abs(obs[t + 1, b, 4]) < 1e-5, (t, b)  # throttle control
+
+
 def test_evaluate_runs(lap_params, model, variables):
     metrics = ppo_mod.evaluate(
         variables, lap_params, model, jax.random.PRNGKey(0), num_envs=2,

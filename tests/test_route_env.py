@@ -115,11 +115,18 @@ def test_max_distance_terminates(rparams):
 
 
 def test_autoreset(rparams):
+    """A step that trips the 3000 m terminal re-spawns within the step."""
     s = route_env.reset(rparams, jax.random.PRNGKey(4))
-    s = s.replace(terminal=jnp.bool_(True), distance_traveled=jnp.float32(500.0))
+    s = s.replace(
+        distance_traveled=jnp.float32(2999.9),
+        vehicle=s.vehicle.replace(vx=jnp.float32(8.0)),
+    )
     s2, out = route_env.autoreset_step(s, jnp.array([0.0, 1.0]), rparams)
-    assert float(s2.distance_traveled) < 1.0
-    assert int(s2.step_count) == 1
+    assert bool(out.done)
+    assert float(out.distance_traveled) >= 3000.0  # finished episode's metric
+    assert float(s2.distance_traveled) < 1.0  # fresh episode carried forward
+    assert int(s2.step_count) == 0
+    assert not bool(s2.terminal)
 
 
 def test_vmap_batch(rparams):

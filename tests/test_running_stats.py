@@ -38,15 +38,33 @@ def test_normalize_rewards_scales_to_unit_std():
 
 
 def test_normalize_rewards_return_recursion():
-    """Per-env returns follow R = gamma * R * (1 - done) + r."""
+    """Accumulate-then-reset: R = gamma * R + r, carry zeroed AFTER done so
+    the terminal reward counts toward its own episode's return sample."""
     rewards = jnp.asarray([[1.0], [1.0], [1.0]])
     dones = jnp.asarray([[0.0], [1.0], [0.0]])
     _, _, returns = rs.normalize_rewards(
         rs.RunningMoments.create(), jnp.zeros((1,)), rewards, dones, 0.5
     )
-    # R1 = 1; done masks the carry before adding:
-    # R2 = 0.5 * R1 * (1-1) + 1 = 1; R3 = 0.5 * 1 * 1 + 1 = 1.5
-    assert float(returns[0]) == pytest.approx(1.5)
+    # R1 = 1 (carry 1); R2 = 0.5 * 1 + 1 = 1.5 but done zeroes the carry;
+    # R3 = 0.5 * 0 + 1 = 1 -> final carry 1.
+    assert float(returns[0]) == pytest.approx(1.0)
+
+
+def test_normalize_rewards_terminal_reward_in_own_episode():
+    """The terminal step's reward (e.g. the -10 penalty) must appear in the
+    emitted return sample at that step, not seed the next episode."""
+    rewards = jnp.asarray([[1.0], [-10.0], [0.0]])
+    dones = jnp.asarray([[0.0], [1.0], [0.0]])
+    moments = rs.RunningMoments.create()
+    _, moments, returns = rs.normalize_rewards(
+        moments, jnp.zeros((1,)), rewards, dones, 1.0
+    )
+    # Emitted samples: 1, (1 - 10) = -9, 0. The -9 proves the penalty landed
+    # in its own episode; the final carry restarts at 0 for the next episode.
+    assert float(returns[0]) == pytest.approx(0.0)
+    # Moments saw the -9 sample: mean of {1, -9, 0} ~ -2.67 (plus the tiny
+    # init count), so well below zero.
+    assert float(moments.mean) < -2.0
 
 
 def test_preserves_sign_and_order():
