@@ -1,60 +1,78 @@
 """pygame HUD overlay for the interactive viewer.
 
-Parity with reference: CarlaEnv/hud.py - server/client FPS, vehicle telemetry,
-fading notifications (collision / lane invasion), and the env's `extra_info`
-lines (reward, maneuver, lap progress...). Host-side only; never in the
-compiled step path.
+Behavior parity with reference: CarlaEnv/hud.py - sim/client FPS, vehicle
+telemetry, transient notifications (collision / lane invasion), and the env's
+`extra_info` lines (reward, maneuver, lap progress...). Host-side only; never
+in the compiled step path.
+
+Original implementation: notifications are a time-stamped message *stack*
+(newest at the bottom, several visible at once) whose text is re-rendered
+each frame with an alpha computed from the message's remaining lifetime -
+there is no persistent pre-blitted surface to fade. Layout is derived from
+font metrics (line height, text width) instead of fixed pixel offsets.
 """
 
 from __future__ import annotations
 
 import datetime
-from typing import List
+import time
+from typing import List, Tuple
 
 
-class FadingText:
-    """Bottom-bar notification that fades out (reference: hud.py:176-198)."""
+class NotificationStack:
+    """Transient bottom-anchored messages with per-message fade-out.
 
-    def __init__(self, font, dim, pos):
-        import pygame
+    Each message carries its own absolute expiry; alpha ramps down linearly
+    over the final `fade_window` seconds. Up to `max_visible` messages render
+    at once, newest closest to the screen bottom.
+    """
 
+    def __init__(self, font, screen_size, fade_window=0.8, max_visible=3):
         self.font = font
-        self.dim = dim
-        self.pos = pos
-        self.seconds_left = 0.0
-        self.surface = pygame.Surface(self.dim)
+        self.screen_w, self.screen_h = screen_size
+        self.fade_window = fade_window
+        self.max_visible = max_visible
+        self._messages: List[Tuple[str, Tuple[int, int, int], float]] = []
 
-    def set_text(self, text, color=(255, 255, 255), seconds=2.0):
-        import pygame
+    def push(self, text, color=(255, 255, 255), seconds=2.0):
+        self._messages.append((text, color, time.monotonic() + seconds))
 
-        text_texture = self.font.render(text, True, color)
-        self.surface = pygame.Surface(self.dim)
-        self.seconds_left = seconds
-        self.surface.fill((0, 0, 0, 0))
-        self.surface.blit(text_texture, (10, 11))
-
-    def tick(self, clock):
-        delta_seconds = 1e-3 * clock.get_time()
-        self.seconds_left = max(0.0, self.seconds_left - delta_seconds)
-        self.surface.set_alpha(int(500.0 * self.seconds_left))
+    def prune(self):
+        now = time.monotonic()
+        self._messages = [m for m in self._messages if m[2] > now]
 
     def render(self, display):
-        display.blit(self.surface, self.pos)
+        self.prune()
+        now = time.monotonic()
+        line_h = self.font.get_linesize() + 6
+        baseline = self.screen_h - line_h - 6
+        for text, color, expiry in reversed(self._messages[-self.max_visible:]):
+            remaining = expiry - now
+            alpha = int(255 * min(1.0, remaining / self.fade_window))
+            label = self.font.render(text, True, color)
+            label.set_alpha(alpha)
+            x = (self.screen_w - label.get_width()) // 2  # centered
+            display.blit(label, (x, baseline))
+            baseline -= line_h
 
 
 class HUD:
-    """Telemetry overlay (reference: hud.py:36-169)."""
+    """Telemetry overlay (reference behavior: hud.py:36-169)."""
+
+    PANEL_ALPHA = 140
+    PANEL_PAD = 6
 
     def __init__(self, width: int, height: int):
         import pygame
 
         self.dim = (width, height)
-        font_name = "courier" if hasattr(pygame.font, "match_font") else None
         mono = pygame.font.match_font("mono") or pygame.font.get_default_font()
-        self._font_mono = pygame.font.Font(mono, 14)
-        self._font = pygame.font.Font(pygame.font.get_default_font(), 20)
-        self._notifications = FadingText(
-            self._font, (width, 40), (0, height - 40)
+        self._font_mono = pygame.font.Font(mono, 13)
+        self._font_notify = pygame.font.Font(
+            pygame.font.get_default_font(), 18
+        )
+        self._notifications = NotificationStack(
+            self._font_notify, (width, height)
         )
         self.frame_count = 0
         self.sim_time = 0.0
@@ -66,13 +84,12 @@ class HUD:
         self.sim_time = float(env.state.time) if env.state is not None else 0.0
         self.client_fps = clock.get_fps()
         self.server_fps = env.fps  # synchronous: locked to env fps
-        self._notifications.tick(clock)
 
     def notification(self, text: str, seconds: float = 2.0) -> None:
-        self._notifications.set_text(text, seconds=seconds)
+        self._notifications.push(text, seconds=seconds)
 
     def error(self, text: str) -> None:
-        self._notifications.set_text(f"Error: {text}", color=(255, 0, 0))
+        self._notifications.push(f"Error: {text}", color=(255, 60, 60))
 
     def render(self, display, env, extra_info: List[str]) -> None:
         import pygame
@@ -95,15 +112,26 @@ class HUD:
             "",
         ] + list(extra_info)
 
-        surface = pygame.Surface((260, self.dim[1]))
-        surface.set_alpha(100)
-        display.blit(surface, (0, 0))
-        v_offset = 4
-        for item in info_text:
-            if v_offset + 18 > self.dim[1]:
+        # Panel sized to its content: width from the widest line, height from
+        # the font's line spacing (no fixed pixel table).
+        line_h = self._font_mono.get_linesize()
+        labels = [
+            self._font_mono.render(item, True, (255, 255, 255)) if item else None
+            for item in info_text
+        ]
+        panel_w = (
+            max((l.get_width() for l in labels if l is not None), default=120)
+            + 2 * self.PANEL_PAD
+        )
+        panel = pygame.Surface((panel_w, self.dim[1]))
+        panel.set_alpha(self.PANEL_ALPHA)
+        display.blit(panel, (0, 0))
+
+        y = self.PANEL_PAD
+        for label in labels:
+            if y + line_h > self.dim[1]:
                 break
-            if item:
-                text = self._font_mono.render(item, True, (255, 255, 255))
-                display.blit(text, (8, v_offset))
-            v_offset += 18
+            if label is not None:
+                display.blit(label, (self.PANEL_PAD, y))
+            y += line_h
         self._notifications.render(display)
