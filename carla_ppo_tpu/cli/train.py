@@ -62,8 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["seg", "rgb"])
 
     # Environment settings (reference: train.py:245-248).
-    parser.add_argument("--env", type=str, default="lap", choices=["lap", "route"])
+    parser.add_argument("--env", type=str, default="lap",
+                        choices=["lap", "route", "lap_bank"])
     parser.add_argument("--num_envs", type=int, default=1024)
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="Data-parallel device count (shard_map over a "
+                             "1-D mesh); <= 0 uses all attached devices")
+    parser.add_argument("--num_tracks", type=int, default=16,
+                        help="lap_bank: domain-randomized tracks in the bank")
     parser.add_argument("--synchronous", type=int, default=True,
                         help="Accepted for parity; the simulator is always synchronous")
     parser.add_argument("--fps", type=int, default=30)
@@ -119,6 +125,8 @@ def main(argv=None) -> None:
         record_eval=params["record_eval"],
         seed=params["seed"],
         track_seed=params["track_seed"],
+        num_devices=params["num_devices"],
+        num_tracks=params["num_tracks"],
         fps=params["fps"],
         action_smoothing=params["action_smoothing"],
         reward_fn=params["reward_fn"],

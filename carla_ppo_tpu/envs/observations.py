@@ -5,15 +5,18 @@ whatever the configured encoder produces, instead of raw pixels
 (reference: vae_common.py:33-62, injected at carla_lap_env.py:141).
 
 Encoders here are pure functions of (EnvState, EnvParams) so they trace into
-the jitted step. Three families, mirroring the reference's capability ladder:
+the jitted step. This registry holds exactly the encoders with that
+signature - today the "vector" family (ground-truth road-relative features,
+no VAE/camera needed). The other two observation families of the capability
+ladder need extra inputs and therefore live elsewhere:
 
-- "vector": ground-truth road-relative features (no VAE/camera needed); the
-  fastest path and the round-1 training config.
-- "latent": frozen-VAE latent of the on-device seg camera frame ++ driving
-  measurements [steer, throttle, speed] - the reference's 64+3 observation
-  (reference: vae_common.py:45-62); wired up in training/ppo once a VAE is
-  available.
-- "pixels": the raw on-device camera frame (Pallas rasterizer).
+- latent (frozen-VAE z ++ [steer, throttle, speed], the reference's 64+3
+  observation, vae_common.py:45-62): built by `training/ppo.make_obs_fn`
+  from a `LatentObs` spec + VAE variables; `models/vae_common.py` holds the
+  encoder closure factory.
+- pixels (raw on-device seg frames): rendered by `ops/rasterizer` inside
+  `training/pixels.pixel_rollout`, which feeds frames straight to the conv
+  policy without a (state, params) -> vector encoding at all.
 """
 
 from __future__ import annotations

@@ -33,12 +33,16 @@ def make_dp_train_iteration(
     config: PPOConfig,
     env_params: EnvParams,
     axis_name: str = DATA_AXIS,
+    latent_obs=None,
+    vae_variables=None,
 ):
     """Build a jitted data-parallel train iteration bound to `mesh`.
 
     Returns fn(train_state, env_states) -> (train_state, env_states, metrics)
     where env_states is sharded on its leading axis and train_state is
-    replicated.
+    replicated. With `latent_obs` (+ frozen `vae_variables`), each shard
+    renders its own envs' camera frames and encodes them locally - only the
+    gradient/statistic psums cross ICI (config 2 at multi-chip scale).
     """
 
     @partial(
@@ -53,6 +57,38 @@ def make_dp_train_iteration(
     ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
         return ppo.train_iteration_core(
             train_state, env_states, env_params, model, config,
+            axis_name=axis_name,
+            latent_obs=latent_obs, vae_variables=vae_variables,
+        )
+
+    return jax.jit(dp_iteration)
+
+
+def make_dp_pixel_train_iteration(
+    mesh: Mesh,
+    model,
+    config: PPOConfig,
+    env_params: EnvParams,
+    pix=None,
+    axis_name: str = DATA_AXIS,
+):
+    """Data-parallel variant of the end-to-end pixel iteration (config 4):
+    per-shard rendering + conv policy, psum'd gradients over ICI."""
+    from carla_ppo_tpu.training import pixels as pixels_mod
+
+    if pix is None:
+        pix = pixels_mod.PixelConfig()
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P(axis_name), P()),
+        check_vma=False,
+    )
+    def dp_iteration(train_state: TrainState, env_states: EnvState):
+        return pixels_mod.pixel_train_iteration_core(
+            train_state, env_states, env_params, model, config, pix,
             axis_name=axis_name,
         )
 

@@ -45,6 +45,13 @@ class TrainerSettings:
     checkpoint_interval: int = 25  # periodic safety checkpoint
     seed: int = 0
     track_seed: int = 0
+    # Multi-chip data parallelism: shard the env batch over this many devices
+    # (shard_map + psum over ICI). 1 = single device; <= 0 = all attached
+    # devices (SURVEY.md section 2.3 "Multi-chip scaling" - an owned
+    # component the reference has no analog of).
+    num_devices: int = 1
+    # lap_bank (config 5): number of domain-randomized tracks in the bank.
+    num_tracks: int = 16
     fps: int = 30
     action_smoothing: float = 0.0  # train.py:247 default
     reward_fn: str = "reward_speed_centering_angle_multiply"
@@ -87,6 +94,18 @@ class Trainer:
                 action_smoothing=settings.action_smoothing,
                 reward_fn=settings.reward_fn,
             )
+        elif config.env_kind == "lap_bank":
+            from carla_ppo_tpu.envs import lap_bank_env
+
+            bank = lap_bank_env.make_lap_bank(
+                n_tracks=settings.num_tracks, base_seed=settings.track_seed
+            )
+            self.env_params = lap_bank_env.lap_bank_params(
+                bank,
+                dt=1.0 / settings.fps,
+                action_smoothing=settings.action_smoothing,
+                reward_fn=settings.reward_fn,
+            )
         else:
             self.env_params = EnvParams(
                 track=track_mod.make_lap_track(seed=settings.track_seed),
@@ -117,6 +136,33 @@ class Trainer:
             self.env_params, config.num_envs, rng, env_kind=config.env_kind
         )
 
+        # Device mesh: data-parallel sharding of the env batch over chips.
+        self.mesh = None
+        n_dev = settings.num_devices
+        if n_dev <= 0:
+            n_dev = len(jax.devices())
+        if n_dev > 1:
+            from carla_ppo_tpu.parallel import train_dp
+            from carla_ppo_tpu.parallel.mesh import make_mesh
+
+            if config.num_envs % n_dev:
+                raise ValueError(
+                    f"num_envs={config.num_envs} not divisible by "
+                    f"num_devices={n_dev}"
+                )
+            self.mesh = make_mesh(n_dev)
+            self._train_dp = train_dp
+            self._dp_iteration = train_dp.make_dp_train_iteration(
+                self.mesh,
+                self.model,
+                config,
+                self.env_params,
+                latent_obs=self.latent_obs,
+                vae_variables=self.vae_variables,
+            )
+            self.env_states = train_dp.shard_env_batch(self.env_states, self.mesh)
+            self.train_state = train_dp.replicate(self.train_state, self.mesh)
+
         # Two checkpoint streams: `checkpoints/` holds best-eval models only
         # (the reference's save-on-best behavior, train.py:130-132);
         # `autosave/` holds periodic crash-recovery snapshots. They must be
@@ -133,6 +179,10 @@ class Trainer:
                 restored = candidate
         if restored is not None:
             self.train_state = restored  # resume (reference: train.py:111-113)
+            if self.mesh is not None:  # restored arrays are single-device
+                self.train_state = self._train_dp.replicate(
+                    self.train_state, self.mesh
+                )
 
         self.writer = MetricsWriter(self.log_dir)
         hparams = {**dataclasses.asdict(settings), **dataclasses.asdict(config)}
@@ -147,18 +197,32 @@ class Trainer:
         return int(self.train_state.iteration)
 
     def evaluate(self) -> Dict[str, float]:
+        # Fresh key per eval: with randomized spawns enabled, reusing one key
+        # would score every eval on the same spawn draw and best-checkpoint
+        # selection would overfit to it.
+        self._eval_rng, eval_key = jax.random.split(self._eval_rng)
         metrics = ppo.evaluate(
             self.train_state.params,
             self.env_params,
             self.model,
-            self._eval_rng,
+            eval_key,
             num_envs=self.settings.eval_envs,
             max_steps=self.settings.eval_max_steps,
             config=self.config,
             latent_obs=self.latent_obs,
             vae_variables=self.vae_variables,
         )
-        return {k: float(v) for k, v in metrics.items()}
+        # Expand array-valued metrics (e.g. eval/laps_per_track for lap_bank)
+        # into one scalar per element so the writer sees flat scalars.
+        flat: Dict[str, float] = {}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                flat[k] = float(arr)
+            else:
+                for i, x in enumerate(arr.ravel()):
+                    flat[f"{k}/{i}"] = float(x)
+        return flat
 
     def record_eval_video(self, filename: str, max_steps: int = 1500) -> float:
         """Greedy episode through the interactive env, rendered to video
@@ -258,15 +322,20 @@ class Trainer:
                     self.checkpointer.save(it, self.train_state)  # best-only
                     # (reference: train.py:130-132)
 
-            new_state, new_envs, m = ppo.train_iteration(
-                self.train_state,
-                self.env_states,
-                self.env_params,
-                self.model,
-                self.config,
-                latent_obs=self.latent_obs,
-                vae_variables=self.vae_variables,
-            )
+            if self.mesh is not None:
+                new_state, new_envs, m = self._dp_iteration(
+                    self.train_state, self.env_states
+                )
+            else:
+                new_state, new_envs, m = ppo.train_iteration(
+                    self.train_state,
+                    self.env_states,
+                    self.env_params,
+                    self.model,
+                    self.config,
+                    latent_obs=self.latent_obs,
+                    vae_variables=self.vae_variables,
+                )
             metrics = {k: float(v) for k, v in m.items()}
 
             # Failure detection: a non-finite loss poisons the params; roll
@@ -297,6 +366,13 @@ class Trainer:
                     jax.random.fold_in(self.train_state.rng, 1),
                     env_kind=self.config.env_kind,
                 )
+                if self.mesh is not None:
+                    self.train_state = self._train_dp.replicate(
+                        self.train_state, self.mesh
+                    )
+                    self.env_states = self._train_dp.shard_env_batch(
+                        self.env_states, self.mesh
+                    )
                 continue
 
             self.train_state, self.env_states = new_state, new_envs

@@ -220,16 +220,23 @@ def pixel_loss(
     return total, metrics
 
 
-@partial(jax.jit, static_argnames=("model", "config", "pix"))
-def pixel_train_iteration(
+def pixel_train_iteration_core(
     train_state: TrainState,
     env_states: EnvState,
     env_params: EnvParams,
     model: PixelActorCritic,
     config: PPOConfig,
     pix: PixelConfig = PixelConfig(),
+    axis_name: str | None = None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
+    """One fused pixel-PPO iteration; with `axis_name` set (inside shard_map
+    over a device mesh) gradients/statistics are psum'd so every device
+    applies identical updates while rendering only its own env shard."""
     rng, roll_key, perm_key, loss_key = jax.random.split(train_state.rng, 4)
+    if axis_name is not None:
+        # De-correlate per-device rollouts; keep permutation/loss keys in
+        # lockstep so the update schedule is identical across devices.
+        roll_key = jax.random.fold_in(roll_key, jax.lax.axis_index(axis_name))
 
     env_states, traj, bootstrap, episodic = pixel_rollout(
         model, train_state.params, env_states, env_params, roll_key, config, pix
@@ -241,7 +248,14 @@ def pixel_train_iteration(
     )
     returns = advantages + traj.values
     if config.normalize_advantage:
-        advantages = gae.normalize_advantages(advantages)
+        if axis_name is None:
+            advantages = gae.normalize_advantages(advantages)
+        else:
+            n_local = jnp.float32(advantages.size)
+            n_tot = jax.lax.psum(n_local, axis_name)
+            mean = jax.lax.psum(advantages.sum(), axis_name) / n_tot
+            var = jax.lax.psum(((advantages - mean) ** 2).sum(), axis_name) / n_tot
+            advantages = (advantages - mean) / (jnp.sqrt(var) + 1e-8)
 
     T, B = traj.rewards.shape
     n = T * B
@@ -264,6 +278,9 @@ def pixel_train_iteration(
         (_, metrics), grads = jax.value_and_grad(pixel_loss, has_aux=True)(
             params, model, batch, config, pix, key
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), metrics
@@ -285,20 +302,41 @@ def pixel_train_iteration(
     )
 
     metrics = jax.tree.map(lambda x: x.mean(), metrics)
+    if axis_name is not None:
+        episodic = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), episodic)
+        episodic["train/episodes_finished"] = (
+            episodic["train/episodes_finished"] * jax.lax.axis_size(axis_name)
+        )
     metrics.update(episodic)
 
+    n_global = n if axis_name is None else n * jax.lax.axis_size(axis_name)
     new_state = TrainState(
         params=params,
         opt_state=opt_state,
         iteration=train_state.iteration + 1,
         train_step=train_state.train_step + config.updates_per_iteration,
-        total_env_steps=train_state.total_env_steps + jnp.float32(n),
+        total_env_steps=train_state.total_env_steps + jnp.float32(n_global),
         episodes_done=train_state.episodes_done
         + episodic["train/episodes_finished"].astype(jnp.int32),
         rng=rng,
         reward_norm=train_state.reward_norm,
     )
     return new_state, env_states, metrics
+
+
+@partial(jax.jit, static_argnames=("model", "config", "pix"))
+def pixel_train_iteration(
+    train_state: TrainState,
+    env_states: EnvState,
+    env_params: EnvParams,
+    model: PixelActorCritic,
+    config: PPOConfig,
+    pix: PixelConfig = PixelConfig(),
+) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
+    """Single-device fused pixel iteration (see pixel_train_iteration_core)."""
+    return pixel_train_iteration_core(
+        train_state, env_states, env_params, model, config, pix, axis_name=None
+    )
 
 
 def create_pixel_train_state(

@@ -471,7 +471,7 @@ def train_iteration(
 
 @partial(
     jax.jit,
-    static_argnames=("model", "config", "max_steps", "num_envs", "latent_obs"),
+    static_argnames=("model", "config", "num_envs", "latent_obs", "chunk"),
 )
 def evaluate(
     params: Any,
@@ -483,23 +483,44 @@ def evaluate(
     config: PPOConfig = PPOConfig(),
     latent_obs: Any = None,
     vae_variables: Any = None,
+    chunk: int = 256,
 ) -> Dict[str, Array]:
     """Greedy evaluation episode(s) (reference: run_eval.py:30-73).
 
     Resets with is_training=False (spawn at route start), acts with the action
-    mean (std=0), runs until done (masked after), returns the eval metric set
-    the reference logs (train.py:124-129).
+    mean (std=0), runs until done, returns the eval metric set the reference
+    logs (train.py:124-129).
+
+    Compiled as a `while_loop` over `chunk`-step scans with `max_steps` as a
+    DYNAMIC operand: changing max_steps never recompiles (only num_envs /
+    chunk do), and the loop exits early once every env has finished - a 26k
+    step budget costs only as many chunks as the slowest env actually needs.
+
+    lap_bank envs are assigned bank tracks round-robin, so one eval covers
+    every track; `eval/laps_per_track` (an [n_tracks] array) reports each
+    track's mean laps alongside the scalar means.
     """
     env = _env_module(config)
     obs_builder = make_obs_fn(latent_obs, vae_variables, config)
     keys = jax.random.split(rng, num_envs)
-    states = jax.vmap(
-        lambda k: env.reset(env_params, k, is_training=False)
-    )(keys)
+    n_tracks = 0
+    if config.env_kind == "lap_bank":
+        n_tracks = env_params.track.pos.shape[0]
+        track_ids = jnp.arange(num_envs, dtype=jnp.int32) % n_tracks
+        states = jax.vmap(
+            lambda k, t: env.reset(env_params, k, is_training=False, track_id=t)
+        )(keys, track_ids)
+    else:
+        states = jax.vmap(
+            lambda k: env.reset(env_params, k, is_training=False)
+        )(keys)
     obs0 = obs_builder(states, env_params)
+    max_steps = jnp.asarray(max_steps, jnp.int32)
 
     def step_fn(carry, _):
-        states, obs, done, snap = carry
+        states, obs, done, snap, t = carry
+        # Frozen = finished OR past the step budget (budget is dynamic).
+        active = jnp.logical_and(jnp.logical_not(done), t < max_steps)
         mean, _, _ = model.apply(params, obs)
         next_states, out = jax.vmap(
             lambda s, a: env.step(s, a, env_params, config.obs_fn)
@@ -507,7 +528,7 @@ def evaluate(
         if latent_obs is not None:
             out = out.replace(obs=obs_builder(next_states, env_params))
         # Latch the first terminal snapshot per env.
-        newly = jnp.logical_and(out.done, jnp.logical_not(done))
+        newly = jnp.logical_and(out.done, active)
 
         def latch(old, new):
             return jnp.where(newly, new, old)
@@ -524,19 +545,20 @@ def evaluate(
                 "steps": out.step_count.astype(jnp.float32),
             },
         )
-        done = jnp.logical_or(done, out.done)
-        # Freeze finished envs.
+        done = jnp.logical_or(done, newly)
+        # Freeze inactive envs (finished or past budget).
         states = jax.tree.map(
             lambda old, new: jnp.where(
-                done.reshape((-1,) + (1,) * (new.ndim - 1)) if new.ndim > 1
-                else done,
-                old,
+                active.reshape((-1,) + (1,) * (new.ndim - 1)) if new.ndim > 1
+                else active,
                 new,
+                old,
             ),
             states,
             next_states,
         )
-        return (states, out.obs, done, snap), None
+        obs = jnp.where(active[:, None], out.obs, obs)
+        return (states, obs, done, snap, t + 1), None
 
     snap0 = {
         "reward": jnp.zeros(num_envs),
@@ -546,11 +568,19 @@ def evaluate(
         "laps": jnp.zeros(num_envs),
         "steps": jnp.zeros(num_envs),
     }
-    (states, _, done, snap), _ = jax.lax.scan(
-        step_fn,
-        (states, obs0, jnp.zeros(num_envs, bool), snap0),
-        None,
-        length=max_steps,
+
+    def chunk_cond(carry):
+        _, _, done, _, t = carry
+        return jnp.logical_and(t < max_steps, jnp.logical_not(jnp.all(done)))
+
+    def chunk_body(carry):
+        carry, _ = jax.lax.scan(step_fn, carry, None, length=chunk)
+        return carry
+
+    states, _, done, snap, _ = jax.lax.while_loop(
+        chunk_cond,
+        chunk_body,
+        (states, obs0, jnp.zeros(num_envs, bool), snap0, jnp.int32(0)),
     )
     # Envs that never finished: use their live accumulators.
     snap = jax.tree.map(
@@ -567,7 +597,7 @@ def evaluate(
     )
     steps = jnp.maximum(snap["steps"], 1.0)
     dev = jnp.maximum(snap["deviation"], 1e-6)
-    return {
+    metrics = {
         "eval/reward": snap["reward"].mean(),
         "eval/distance_traveled": snap["distance"].mean(),
         "eval/average_speed": (3.6 * snap["speed_accum"] / steps).mean(),
@@ -578,6 +608,12 @@ def evaluate(
         "eval/episode_steps": snap["steps"].mean(),
         "eval/finished": done.astype(jnp.float32).mean(),
     }
+    if n_tracks:
+        # Per-track mean laps (round-robin assignment above covers the bank).
+        onehot = jax.nn.one_hot(track_ids, n_tracks, dtype=jnp.float32)
+        counts = jnp.maximum(onehot.sum(axis=0), 1.0)
+        metrics["eval/laps_per_track"] = (snap["laps"] @ onehot) / counts
+    return metrics
 
 
 def init_env_batch(

@@ -58,10 +58,31 @@ def test_step_on_each_track(bparams):
 
 
 def test_autoreset_keeps_track(bparams):
+    """The terminating step re-spawns the env on the SAME bank track."""
     s = lap_bank_env.reset(bparams, jax.random.PRNGKey(0), track_id=2)
-    s = s.replace(terminal=jnp.bool_(True))
-    s2, _ = lap_bank_env.autoreset_step(s, jnp.array([0.0, 1.0]), bparams)
+    fwd = np.asarray(s.vehicle.forward)
+    left = jnp.asarray([-fwd[1], fwd[0]])
+    s = s.replace(vehicle=s.vehicle.replace(pos=s.vehicle.pos + 8.0 * left))
+    s2, out = lap_bank_env.autoreset_step(s, jnp.array([0.0, 1.0]), bparams)
+    assert bool(out.done)
     assert int(s2.route_id) == 2
+    assert int(s2.step_count) == 0
+    assert not bool(s2.terminal)
+
+
+def test_evaluate_reports_per_track_laps(bparams):
+    """Eval assigns bank tracks round-robin and reports per-track laps."""
+    model = ActorCritic()
+    config = ppo.PPOConfig(env_kind="lap_bank")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 18)))
+    n_tracks = bparams.track.pos.shape[0]
+    metrics = ppo.evaluate(
+        variables, bparams, model, jax.random.PRNGKey(1),
+        num_envs=2 * n_tracks, max_steps=16, config=config,
+    )
+    per_track = metrics["eval/laps_per_track"]
+    assert per_track.shape == (n_tracks,)
+    assert bool(jnp.all(jnp.isfinite(per_track)))
 
 
 def test_ppo_trains_on_bank(bparams):

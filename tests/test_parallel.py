@@ -95,6 +95,115 @@ def test_entry_compiles():
     assert value.shape == (1024,)
 
 
+def test_dp_latent_iteration_runs(setup):
+    """Config 2 (frozen-VAE latent obs) under data parallelism: each shard
+    renders + encodes its own envs; grads psum over the mesh."""
+    from carla_ppo_tpu.models import vae_common
+
+    env_params, _, _, _, envs = setup
+    model = ActorCritic()
+    vae = vae_common.build_vae(z_dim=8, model_type="mlp", target_depth=1)
+    vae_vars = vae.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, *vae.source_shape)),
+        jax.random.PRNGKey(1),
+        True,
+    )
+    latent = ppo.LatentObs(vae_model=vae)
+    config = ppo.PPOConfig(horizon=2, num_envs=16, num_minibatches=2)
+    ts = ppo.create_train_state(
+        model, config, latent.obs_dim, jax.random.PRNGKey(0)
+    )
+    mesh = make_mesh(8)
+    ts = train_dp.replicate(ts, mesh)
+    envs = train_dp.shard_env_batch(envs, mesh)
+    step = train_dp.make_dp_train_iteration(
+        mesh, model, config, env_params,
+        latent_obs=latent, vae_variables=vae_vars,
+    )
+    ts2, envs2, metrics = step(ts, envs)
+    assert int(ts2.iteration) == 1
+    assert float(ts2.total_env_steps) == 16 * 2
+    assert all(bool(jnp.isfinite(v)) for v in metrics.values())
+    # Params identical across devices after the update.
+    leaf = jax.tree.leaves(ts2.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_pixel_iteration_runs(setup):
+    """Config 4 (end-to-end pixels, joint VAE aux) under data parallelism."""
+    from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+    from carla_ppo_tpu.training import pixels
+
+    env_params, _, _, _, envs = setup
+    model = PixelActorCritic(z_dim=8)
+    config = ppo.PPOConfig(horizon=2, num_envs=16, num_minibatches=2)
+    ts = pixels.create_pixel_train_state(model, config, jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    ts = train_dp.replicate(ts, mesh)
+    envs = train_dp.shard_env_batch(envs, mesh)
+    step = train_dp.make_dp_pixel_train_iteration(
+        mesh, model, config, env_params
+    )
+    ts2, envs2, metrics = step(ts, envs)
+    assert int(ts2.iteration) == 1
+    assert float(ts2.total_env_steps) == 16 * 2
+    assert "train_loss/vae_recon" in metrics
+    assert all(bool(jnp.isfinite(v)) for v in metrics.values())
+    leaf = jax.tree.leaves(ts2.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_trainer_dp_end_to_end(tmp_path):
+    """The Trainer/CLI surface drives the dp path: num_devices=8 shards the
+    batch, trains, evals, and checkpoints (VERDICT round-1 item 1)."""
+    from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
+
+    settings = TrainerSettings(
+        model_name="dp_smoke",
+        models_root=str(tmp_path),
+        num_iterations=2,
+        eval_interval=1,
+        eval_envs=2,
+        eval_max_steps=8,
+        checkpoint_interval=1,
+        num_devices=8,
+    )
+    config = ppo.PPOConfig(horizon=4, num_envs=16, num_minibatches=2)
+    tr = Trainer(settings, config)
+    try:
+        metrics = tr.train()
+        assert tr.iteration == 2
+        assert np.isfinite(metrics["train_loss/loss"])
+        # Params ended replicated across all 8 devices.
+        leaf = jax.tree.leaves(tr.train_state.params)[0]
+        assert len(leaf.addressable_shards) == 8
+    finally:
+        tr.close()
+
+    # Resume restores the checkpoint and re-replicates.
+    tr2 = Trainer(settings, config)
+    try:
+        assert tr2.iteration == 2
+    finally:
+        tr2.close()
+
+
+def test_trainer_dp_rejects_indivisible_batch(tmp_path):
+    from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
+
+    settings = TrainerSettings(
+        model_name="dp_bad", models_root=str(tmp_path), num_devices=8
+    )
+    config = ppo.PPOConfig(horizon=4, num_envs=12, num_minibatches=2)
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(settings, config)
+
+
 def test_dp_with_reward_normalization(setup):
     """normalize_rewards under shard_map: per-env return carries live in the
     sharded EnvState, moments stay replicated via pmean."""
