@@ -53,6 +53,11 @@ def main(argv=None) -> None:
     parser.add_argument("--save_every", type=int, default=3,
                         help="Save every Nth frame (decorrelates the dataset)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--rich_scene", type=int, default=1,
+                        help="Bake roadside props (buildings/fences/poles/"
+                             "signs/pedestrians/parked vehicles) + NPC "
+                             "traffic so datasets cover all 13 classes")
+    parser.add_argument("--num_npcs", type=int, default=6)
     parser.add_argument("--manual", action="store_true",
                         help="Interactive WASD driving like the reference")
     params = parser.parse_args(argv)
@@ -70,9 +75,12 @@ def main(argv=None) -> None:
     track_idx = 0
     while saved < params.num_images:
         env_params = EnvParams(
-            track=track_mod.make_lap_track(seed=params.seed + track_idx),
+            track=track_mod.make_lap_track(
+                seed=params.seed + track_idx, props=bool(params.rich_scene)
+            ),
             spawn_pos_noise=jnp.float32(0.8),
             spawn_yaw_noise=jnp.float32(0.15),
+            num_npcs=jnp.int32(params.num_npcs if params.rich_scene else 0),
         )
         track_idx = (track_idx + 1) % params.num_tracks
 

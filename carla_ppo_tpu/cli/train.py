@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "1-D mesh); <= 0 uses all attached devices")
     parser.add_argument("--num_tracks", type=int, default=16,
                         help="lap_bank: domain-randomized tracks in the bank")
+    parser.add_argument("--rich_scene", type=bool_flag, default=True,
+                        help="Bake the 13-class roadside scene into rendered "
+                             "observations (props affect cameras only)")
+    parser.add_argument("--num_npcs", type=int, default=0,
+                        help="NPC traffic vehicles per env; > 0 also enables "
+                             "real collision termination")
     parser.add_argument("--synchronous", type=int, default=True,
                         help="Accepted for parity; the simulator is always synchronous")
     parser.add_argument("--fps", type=int, default=30)
@@ -127,6 +133,8 @@ def main(argv=None) -> None:
         track_seed=params["track_seed"],
         num_devices=params["num_devices"],
         num_tracks=params["num_tracks"],
+        rich_scene=params["rich_scene"],
+        num_npcs=params["num_npcs"],
         fps=params["fps"],
         action_smoothing=params["action_smoothing"],
         reward_fn=params["reward_fn"],

@@ -86,12 +86,28 @@ def reset(
     fwd = jnp.take(track.fwd, start_idx, axis=0)
     yaw = jnp.arctan2(fwd[1], fwd[0])
 
-    rng, k_pos, k_yaw = jax.random.split(rng, 3)
+    rng, k_pos, k_yaw, k_npc_s, k_npc_v = jax.random.split(rng, 5)
     lateral = jnp.stack([-fwd[1], fwd[0]])
     pos = pos + lateral * params.spawn_pos_noise * jax.random.normal(k_pos)
     yaw = yaw + params.spawn_yaw_noise * jax.random.normal(k_yaw)
 
     state = default_env_state(track, rng)
+
+    # NPC traffic spawns (inert unless params.num_npcs > 0): uniformly around
+    # the track, at least 25 m ahead of the ego spawn, at randomized cruise
+    # speeds. The reference world has traffic CARLA places; here it is
+    # explicit per-env state ticked inside step().
+    M = state.npc_s.shape[0]
+    length_f = track.length.astype(jnp.float32)
+    gap = jax.random.uniform(
+        k_npc_s, (M,), minval=25.0, maxval=jnp.maximum(length_f - 25.0, 26.0)
+    )
+    npc_s = start_idx.astype(jnp.float32) + gap
+    npc_speed = jax.random.uniform(
+        k_npc_v, (M,),
+        minval=params.npc_min_speed, maxval=params.npc_max_speed,
+    )
+
     state = state.replace(
         vehicle=VehicleState.create(pos, yaw),
         waypoint_idx=start_idx,
@@ -99,6 +115,8 @@ def reset(
         checkpoint_idx=checkpoint_idx,
         is_training=is_training,
         prev_pos=pos,
+        npc_s=npc_s,
+        npc_speed=npc_speed,
     )
     return _with_derived(state, params)
 
@@ -228,6 +246,30 @@ def step(
     lane_invasion = distance_from_center > half_width
     collision = distance_from_center > half_width + 1.5
 
+    # NPC traffic tick + REAL vehicle-vehicle collision (the reference's
+    # collision sensor fires on actual actors, CarlaEnv/wrappers.py:85-115).
+    # Overlap test in road coordinates: |delta s| and |delta lateral| within
+    # a car-sized box against any active NPC.
+    npc_s = state.npc_s + state.npc_speed * params.dt
+    active_npc = jnp.arange(npc_s.shape[0]) < params.num_npcs
+    length_f = track.length.astype(jnp.float32)
+    ego_s = waypoint_idx.astype(jnp.float32)
+    ds = npc_s - ego_s
+    ds = jnp.where(
+        track.is_loop,
+        jnp.mod(ds + length_f / 2.0, length_f) - length_f / 2.0,
+        ds,
+    )
+    cur_wp = wp_gather(track.pos, waypoint_idx, track.length, track.is_loop)
+    nxt_wp = wp_gather(track.pos, waypoint_idx + 1, track.length, track.is_loop)
+    ego_lat = geometry.signed_distance_to_line(cur_wp, nxt_wp, vehicle.pos)
+    npc_hit = jnp.any(
+        active_npc
+        & (jnp.abs(ds) < params.npc_collision_s)
+        & (jnp.abs(state.npc_lateral - ego_lat) < params.npc_collision_lat)
+    )
+    collision = collision | npc_hit
+
     step_count = state.step_count + 1
     over_distance = distance_traveled >= params.max_distance_traveled
     over_steps = step_count >= params.max_episode_steps
@@ -269,6 +311,7 @@ def step(
     total_reward = state.total_reward + reward
 
     next_state = mid.replace(
+        npc_s=npc_s,
         checkpoint_idx=checkpoint_idx,
         low_speed_timer=low_speed_timer,
         step_count=step_count,

@@ -31,8 +31,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
+
 from carla_ppo_tpu.envs import track as track_mod
-from carla_ppo_tpu.envs.types import RoadOption, TrackData
+from carla_ppo_tpu.envs.types import PROP_STRIDE, RoadOption, SegClass, TrackData
 
 # Junction turn classification threshold (rad); the reference uses its own
 # threshold on the angle between entry/exit vectors (global_route_planner.py:289).
@@ -223,6 +225,7 @@ def make_route_bank(
     min_length: float = 150.0,
     seed: int = 0,
     half_width: float = track_mod.DEFAULT_HALF_WIDTH,
+    props: bool = False,
 ) -> TrackData:
     """A bank of padded random routes as one stacked TrackData
     (leading axis = route). Replaces the reference's per-reset
@@ -260,13 +263,24 @@ def make_route_bank(
         len_b[made] = n
         made += 1
 
-    widths = np.full((n_routes, capacity), half_width, np.float32)
-    return TrackData(
-        pos=jnp.asarray(pos_b),
-        fwd=jnp.asarray(fwd_b),
-        maneuver=jnp.asarray(man_b),
-        left_width=jnp.asarray(widths),
-        right_width=jnp.asarray(widths),
-        length=jnp.asarray(len_b),
-        is_loop=jnp.zeros((n_routes,), jnp.bool_),
-    )
+    widths = np.full((capacity,), half_width, np.float32)
+    n_slots = capacity // PROP_STRIDE
+    routes = []
+    for i in range(n_routes):
+        t = TrackData(
+            pos=jnp.asarray(pos_b[i]),
+            fwd=jnp.asarray(fwd_b[i]),
+            maneuver=jnp.asarray(man_b[i]),
+            left_width=jnp.asarray(widths),
+            right_width=jnp.asarray(widths),
+            length=jnp.int32(int(len_b[i])),
+            is_loop=jnp.bool_(False),
+            prop_class=jnp.full((n_slots, 2), int(SegClass.NONE), jnp.int32),
+            prop_lateral=jnp.zeros((n_slots, 2), jnp.float32),
+            prop_height=jnp.zeros((n_slots, 2), jnp.float32),
+            prop_halfwidth=jnp.zeros((n_slots, 2), jnp.float32),
+        )
+        if props:  # scene dressing per route (see track.bake_props)
+            t = track_mod.bake_props(t, seed=seed * 1009 + i)
+        routes.append(t)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *routes)

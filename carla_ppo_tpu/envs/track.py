@@ -28,7 +28,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from carla_ppo_tpu.envs.types import RoadOption, TrackData
+from carla_ppo_tpu.envs.types import PROP_STRIDE, RoadOption, SegClass, TrackData
 
 # Curvature (1/m) above which a waypoint is tagged as a turn.
 _TURN_CURVATURE = 1.0 / 40.0
@@ -110,6 +110,7 @@ def track_from_polyline(
     if capacity is None:
         capacity = n
     widths = np.full((n,), half_width, np.float32)
+    n_slots = capacity // PROP_STRIDE
     # Pad with the last live waypoint so out-of-range gathers stay on-track.
     return TrackData(
         pos=jnp.asarray(_pad_to(pos.astype(np.float32), capacity, pos[-1])),
@@ -119,6 +120,11 @@ def track_from_polyline(
         right_width=jnp.asarray(_pad_to(widths, capacity, half_width)),
         length=jnp.int32(n),
         is_loop=jnp.bool_(closed),
+        # Empty prop tables; fill with bake_props for a scene-rich world.
+        prop_class=jnp.full((n_slots, 2), int(SegClass.NONE), jnp.int32),
+        prop_lateral=jnp.zeros((n_slots, 2), jnp.float32),
+        prop_height=jnp.zeros((n_slots, 2), jnp.float32),
+        prop_halfwidth=jnp.zeros((n_slots, 2), jnp.float32),
     )
 
 
@@ -130,6 +136,7 @@ def make_lap_track(
     resolution: float = 1.0,
     half_width: float = DEFAULT_HALF_WIDTH,
     capacity: int | None = None,
+    props: bool = False,
 ) -> TrackData:
     """Closed loop: Fourier-perturbed circle, ~2*pi*mean_radius meters around.
 
@@ -152,9 +159,91 @@ def make_lap_track(
         phase = rng.uniform(0, 2 * np.pi)
         radius += amp * np.cos(k * theta + phase)
     pts = np.stack([radius * np.cos(theta), radius * np.sin(theta)], axis=1)
-    return track_from_polyline(
+    track = track_from_polyline(
         pts, closed=True, resolution=resolution, half_width=half_width,
         capacity=capacity,
+    )
+    # `props=True` dresses the roadside with the full 13-class scene
+    # (buildings/fences/poles/signs/pedestrians/parked vehicles).
+    return bake_props(track, seed=seed) if props else track
+
+
+def _smooth_noise(rng: np.random.Generator, n: int, scale: int) -> np.ndarray:
+    """[0,1] noise with ~`scale`-slot correlation length (zone shaping)."""
+    coarse = rng.uniform(size=max(n // scale + 2, 2))
+    x = np.arange(n) / scale
+    return np.interp(x, np.arange(coarse.size), coarse)
+
+
+def bake_props(
+    track: TrackData, seed: int = 0, urban_fraction: float = 0.45
+) -> TrackData:
+    """Dress the roadside with CARLA-style scene props (host-side, numpy).
+
+    The reference's camera sees Town07's full 13-class world - buildings,
+    fences, poles, walls, traffic signs, pedestrians, parked vehicles
+    (reference: vae/vae_plots.py:49-71 palette; CarlaEnv/collect_data.py:157-163
+    dual camera) - not just road/sidewalk/vegetation. This fills the track's
+    prop tables procedurally: smooth "urban" zones get building facades,
+    walls, poles, signs, pedestrians and street-parked vehicles; rural zones
+    get fence runs and poles. Rendering happens in ops/rasterizer's billboard
+    pass; geometry is (class, lateral, height, half-width) per slot/side.
+    """
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    n_slots = track.prop_slots
+    live = int(track.length) // PROP_STRIDE
+    wp_idx = np.minimum(np.arange(n_slots) * PROP_STRIDE, int(track.length) - 1)
+    half_w = np.asarray(track.left_width)[wp_idx]  # [S]
+
+    # Zone shaping: one urban field per side (a town usually builds up on
+    # both sides at once), one fence field per side independently.
+    urban = _smooth_noise(rng, n_slots, 24) < urban_fraction
+    cls = np.full((n_slots, 2), int(SegClass.NONE), np.int32)
+    lat = np.zeros((n_slots, 2), np.float32)
+    hgt = np.zeros((n_slots, 2), np.float32)
+    hwd = np.zeros((n_slots, 2), np.float32)
+
+    for side in range(2):
+        sign = 1.0 if side == 0 else -1.0
+        fence_zone = _smooth_noise(rng, n_slots, 16) < 0.5
+        r = rng.uniform(size=n_slots)
+        # Per-slot category; probabilities differ by zone.
+        #                 urban                      rural
+        # buildings .42 / walls .10 / poles .08  |  fences (zone) / poles .05
+        # signs .05 / pedestrians .08 / parked vehicles .10 / empty rest
+        u = urban
+        building = u & (r < 0.42)
+        wall = u & (r >= 0.42) & (r < 0.52)
+        pole = (u & (r >= 0.52) & (r < 0.60)) | (~u & (r >= 0.90) & (r < 0.95))
+        sign_p = (u & (r >= 0.60) & (r < 0.65)) | (~u & (r >= 0.95) & (r < 0.97))
+        ped = u & (r >= 0.65) & (r < 0.73)
+        parked = u & (r >= 0.73) & (r < 0.83)
+        fence = ~u & fence_zone & (r < 0.85)
+
+        def put(mask, c, lat_lo, lat_hi, h_lo, h_hi, w_lo, w_hi):
+            k = int(mask.sum())
+            cls[mask, side] = int(c)
+            lat[mask, side] = sign * (
+                half_w[mask] + rng.uniform(lat_lo, lat_hi, size=k)
+            )
+            hgt[mask, side] = rng.uniform(h_lo, h_hi, size=k)
+            hwd[mask, side] = rng.uniform(w_lo, w_hi, size=k)
+
+        put(building, SegClass.BUILDINGS, 5.0, 11.0, 5.0, 11.0, 2.5, 4.0)
+        put(wall, SegClass.WALLS, 3.0, 4.5, 1.8, 2.6, 2.0, 2.0)
+        put(pole, SegClass.POLES, 0.5, 0.8, 3.5, 5.0, 0.07, 0.10)
+        put(sign_p, SegClass.TRAFFICSIGNS, 0.6, 0.9, 2.0, 2.4, 0.30, 0.40)
+        put(ped, SegClass.PEDESTRIANS, 0.8, 1.6, 1.6, 1.9, 0.20, 0.28)
+        put(parked, SegClass.VEHICLES, 1.1, 1.4, 1.4, 1.6, 0.9, 1.1)
+        put(fence, SegClass.FENCES, 2.1, 2.4, 0.9, 1.3, 2.0, 2.0)
+
+    # Dead (padding) slots stay empty.
+    cls[live:] = int(SegClass.NONE)
+    return track.replace(
+        prop_class=jnp.asarray(cls),
+        prop_lateral=jnp.asarray(lat),
+        prop_height=jnp.asarray(hgt),
+        prop_halfwidth=jnp.asarray(hwd),
     )
 
 

@@ -17,6 +17,10 @@ import jax.numpy as jnp
 from flax import struct
 
 
+# Static NPC slot count (array shape; EnvParams.num_npcs enables a prefix).
+NUM_NPC_SLOTS = 8
+
+
 class RoadOption(enum.IntEnum):
     """High-level maneuver annotation for route waypoints.
 
@@ -59,6 +63,11 @@ class SegClass(enum.IntEnum):
 NUM_SEG_CLASSES = 13
 
 
+# One roadside-prop slot per PROP_STRIDE waypoints per side (see track.py
+# bake_props and ops/rasterizer billboard pass).
+PROP_STRIDE = 4
+
+
 @struct.dataclass
 class TrackData:
     """Device-resident route: a padded polyline of waypoints 1 m apart.
@@ -69,6 +78,13 @@ class TrackData:
 
     All arrays are padded to a static capacity so route banks stack into a
     single ragged-free tensor; `length` gives the live prefix.
+
+    Roadside props (the scene dressing CARLA's Town07 world has: buildings,
+    fences, poles, walls, signs, pedestrians, parked vehicles) are stored in
+    ROAD coordinates - one slot every PROP_STRIDE waypoints per side, each a
+    (class, signed lateral offset, height, half-width) tuple - so the same
+    prop tables follow any track geometry and gather with the same windowed
+    indexing as the waypoints. All-NONE tables (the default) render nothing.
     """
 
     pos: jax.Array  # [N, 2] float32 waypoint xy (meters)
@@ -78,10 +94,20 @@ class TrackData:
     right_width: jax.Array  # [N] float32 distance center -> right road edge
     length: jax.Array  # [] int32 number of live waypoints
     is_loop: jax.Array  # [] bool, True for the closed lap circuit
+    # Roadside props, [N // PROP_STRIDE, 2] per (slot, side): side 0 = left
+    # (positive lateral), side 1 = right (negative lateral).
+    prop_class: jax.Array  # int32 SegClass (NONE = empty slot)
+    prop_lateral: jax.Array  # float32 signed offset from centerline (m)
+    prop_height: jax.Array  # float32 billboard height (m)
+    prop_halfwidth: jax.Array  # float32 billboard half-width (m)
 
     @property
     def capacity(self) -> int:
         return self.pos.shape[0]
+
+    @property
+    def prop_slots(self) -> int:
+        return self.prop_class.shape[0]
 
 
 @struct.dataclass
@@ -214,6 +240,19 @@ class EnvState:
     vecnorm_return: jax.Array = struct.field(
         default_factory=lambda: jnp.float32(0.0)
     )
+    # NPC traffic (other vehicles - the reference world has them, ours gains
+    # them in round 2): arc position along the track (waypoint units ~ m,
+    # monotonic), speed (m/s) and signed lateral offset per slot. Slots
+    # beyond EnvParams.num_npcs are inactive.
+    npc_s: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((NUM_NPC_SLOTS,), jnp.float32)
+    )
+    npc_speed: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((NUM_NPC_SLOTS,), jnp.float32)
+    )
+    npc_lateral: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((NUM_NPC_SLOTS,), jnp.float32)
+    )
 
 
 class TerminationReason(enum.IntEnum):
@@ -295,6 +334,14 @@ class EnvParams:
     # Spawn jitter (domain randomization), meters / radians std.
     spawn_pos_noise: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))
     spawn_yaw_noise: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))
+    # NPC traffic: how many of the NUM_NPC_SLOTS are live (0 = no traffic,
+    # the reference-parity default), their speed range (m/s), and the
+    # ego-overlap box that counts as a collision (half-length/width, m).
+    num_npcs: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
+    npc_min_speed: jax.Array = struct.field(default_factory=lambda: jnp.float32(4.0))
+    npc_max_speed: jax.Array = struct.field(default_factory=lambda: jnp.float32(7.0))
+    npc_collision_s: jax.Array = struct.field(default_factory=lambda: jnp.float32(4.0))
+    npc_collision_lat: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.5))
 
     # --- static fields (affect the compiled program) ---
     physics_substeps: int = struct.field(pytree_node=False, default=2)

@@ -37,7 +37,13 @@ import jax.numpy as jnp
 from jax import Array
 
 from carla_ppo_tpu.envs.observations import wp_gather
-from carla_ppo_tpu.envs.types import EnvParams, EnvState, SegClass, TrackData
+from carla_ppo_tpu.envs.types import (
+    PROP_STRIDE,
+    EnvParams,
+    EnvState,
+    SegClass,
+    TrackData,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +62,15 @@ class CameraConfig:
     window: int = 128
     # Window placement: a few waypoints behind, the rest ahead.
     window_behind: int = 16
+    # Render roadside props + NPC vehicles as depth-tested billboards over
+    # the ground pass (no-op when the track's prop tables are empty and
+    # num_npcs is 0).
+    render_props: bool = True
+    # Per-row-stripe window narrowing: pixel rows near the image bottom see
+    # only nearby road, so their nearest-waypoint search can use a much
+    # smaller K (and sky rows skip the search entirely). Pure optimization -
+    # classes only differ where a track folds back within a stripe's depth.
+    row_stripes: bool = True
 
     @property
     def focal(self) -> float:
@@ -72,33 +87,94 @@ class RoadStyle:
     center_line_half_width: float = 0.08
     center_dash_period: float = 4.0
     center_dash_duty: float = 0.5
+    # Gravel shoulder between the road edge and the sidewalk (class OTHER).
+    shoulder_width: float = 0.4
     sidewalk_width: float = 2.0
-    # Beyond the sidewalk: vegetation; occasional fence posts handled later.
+    # Beyond the sidewalk: vegetation; verticals come from the billboard pass.
 
 
-def _pixel_rays(cam: CameraConfig) -> Tuple[Array, Array]:
-    """Static per-pixel ray components in the camera frame.
+def _pixel_rays(
+    cam: CameraConfig, row_lo: int = 0, row_hi: int | None = None
+) -> Tuple[Array, Array]:
+    """Static per-pixel ray components in the camera frame for a row range.
 
     Returns (lateral [P], vertical [P]) such that a ray is
     fwd * 1 + right * lateral + up * vertical (unnormalized pinhole).
     """
     H, W, f = cam.height, cam.width, cam.focal
-    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) + 0.5
-    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) + 0.5
+    row_hi = cam.height if row_hi is None else row_hi
+    R = row_hi - row_lo
+    u = jax.lax.broadcasted_iota(jnp.float32, (R, W), 1) + 0.5
+    v = jax.lax.broadcasted_iota(jnp.float32, (R, W), 0) + 0.5 + row_lo
     lateral = (u - W / 2.0) / f
     pitch = jnp.deg2rad(jnp.float32(cam.pitch_deg))
     vertical = (H / 2.0 - v) / f + jnp.tan(pitch)
     return lateral.reshape(-1), vertical.reshape(-1)
 
 
+def _row_geometry(cam: CameraConfig):
+    """Static (numpy) per-row vertical ray component, sky flag, ground depth.
+
+    Every pixel in a row shares its vertical component, so sky membership and
+    the ground-intersection ray parameter t are row-level constants - this is
+    what lets whole rows skip the nearest-waypoint search.
+    """
+    import math
+
+    import numpy as np
+
+    v = np.arange(cam.height) + 0.5
+    vert = (cam.height / 2.0 - v) / cam.focal + math.tan(
+        math.radians(cam.pitch_deg)
+    )
+    sky = vert >= -1e-6
+    with np.errstate(divide="ignore"):
+        t = np.where(sky, np.inf, cam.mount_height / np.maximum(-vert, 1e-12))
+    return vert, sky, t
+
+
+def _row_stripes(cam: CameraConfig, margin: float = 12.0):
+    """Static stripe plan: (n_sky_rows, [(row_lo, row_hi, K), ...]).
+
+    Rows are grouped by the smallest waypoint-window length K whose
+    ahead-span (K - window_behind) covers the row's ground depth plus a
+    margin (camera mount offset + curvature slack). Bottom rows get K=32,
+    mid rows K=64, horizon rows the full window.
+    """
+    _, sky, t = _row_geometry(cam)
+    n_sky = int(sky.sum())  # contiguous prefix: vert decreases with row
+    if not cam.row_stripes:
+        return n_sky, [(n_sky, cam.height, cam.window)]
+    choices = sorted({min(32, cam.window), min(64, cam.window), cam.window})
+    stripes = []
+    lo, cur_k = n_sky, None
+    for row in range(n_sky, cam.height):
+        need = t[row] + margin
+        k = next(
+            (k for k in choices if k - cam.window_behind >= need), cam.window
+        )
+        if cur_k is None:
+            cur_k = k
+        elif k != cur_k:
+            stripes.append((lo, row, cur_k))
+            lo, cur_k = row, k
+    if cur_k is not None:
+        stripes.append((lo, cam.height, cur_k))
+    return n_sky, stripes
+
+
 def ground_points(
-    pos: Array, yaw: Array, cam: CameraConfig
+    pos: Array,
+    yaw: Array,
+    cam: CameraConfig,
+    row_lo: int = 0,
+    row_hi: int | None = None,
 ) -> Tuple[Array, Array, Array]:
-    """Cast all pixel rays to the ground plane.
+    """Cast pixel rays (optionally of a row range) to the ground plane.
 
     Returns (points [P, 2] world xy, sky_mask [P], depth [P] meters).
     """
-    lat, vert = _pixel_rays(cam)
+    lat, vert = _pixel_rays(cam, row_lo, row_hi)
     fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
     right = jnp.stack([jnp.sin(yaw), -jnp.cos(yaw)])
     cam_xy = pos + fwd * cam.mount_forward
@@ -177,15 +253,20 @@ def classify(
     center_line = jnp.logical_and(
         alat <= style.center_line_half_width, dash_on
     )
+    shoulder = jnp.logical_and(
+        alat > half_width, alat <= half_width + style.shoulder_width
+    )
+    side0 = half_width + style.shoulder_width
     sidewalk = jnp.logical_and(
-        alat > half_width, alat <= half_width + style.sidewalk_width
+        alat > side0, alat <= side0 + style.sidewalk_width
     )
     # Points whose nearest waypoint is far away are off the road corridor
     # entirely (window exhausted / behind the camera): vegetation.
-    corridor = nearest_dist <= half_width + style.sidewalk_width + 25.0
+    corridor = nearest_dist <= side0 + style.sidewalk_width + 25.0
 
     cls = jnp.full(lateral.shape, int(SegClass.VEGETATION), jnp.int32)
     cls = jnp.where(sidewalk, int(SegClass.SIDEWALKS), cls)
+    cls = jnp.where(shoulder, int(SegClass.OTHER), cls)
     cls = jnp.where(on_road, int(SegClass.ROADS), cls)
     cls = jnp.where(
         jnp.logical_and(on_road, center_line), int(SegClass.ROADLINES), cls
@@ -200,13 +281,19 @@ def _window_indices(idx0: Array, cam: CameraConfig) -> Array:
     return idx0 - cam.window_behind + jnp.arange(cam.window, dtype=jnp.int32)
 
 
-def render_semantic(
+def _ground_pass(
     state: EnvState,
     params: EnvParams,
-    cam: CameraConfig = CameraConfig(),
-    style: RoadStyle = RoadStyle(),
-) -> Array:
-    """Render one env's seg frame, [H, W] int32 class ids. vmap over envs."""
+    cam: CameraConfig,
+    style: RoadStyle,
+) -> Tuple[Array, Array, Array]:
+    """Shared ground rasterization: (cls [H, W], depth [H, W], sky [H, W]).
+
+    Runs the Frenet nearest-waypoint search per ROW STRIPE: sky rows are
+    filled directly, bottom rows search a K=32 waypoint window, mid rows
+    K=64, horizon rows the full window - ~4.5x less MXU work than running
+    every pixel against the full window.
+    """
     track = params.track
     idxs = _window_indices(state.waypoint_idx, cam)
     wp_pos = wp_gather(track.pos, idxs, track.length, track.is_loop)
@@ -214,14 +301,164 @@ def render_semantic(
     half_width = wp_gather(
         track.left_width, state.waypoint_idx, track.length, track.is_loop
     )
+    idx0 = (state.waypoint_idx - cam.window_behind).astype(jnp.float32)
 
-    pts, sky, _ = ground_points(state.vehicle.pos, state.vehicle.yaw, cam)
-    lateral, s, nearest_dist = frenet_coords(
-        pts, wp_pos, wp_fwd,
-        (state.waypoint_idx - cam.window_behind).astype(jnp.float32),
+    W = cam.width
+    n_sky, stripes = _row_stripes(cam)
+    cls_blocks, depth_blocks, sky_blocks = [], [], []
+    if n_sky:
+        P_sky = n_sky * W
+        cls_blocks.append(jnp.full((P_sky,), int(SegClass.NONE), jnp.int32))
+        depth_blocks.append(jnp.full((P_sky,), jnp.inf, jnp.float32))
+        sky_blocks.append(jnp.ones((P_sky,), bool))
+    for row_lo, row_hi, K in stripes:
+        pts, sky, t = ground_points(
+            state.vehicle.pos, state.vehicle.yaw, cam, row_lo, row_hi
+        )
+        lateral, s, nearest_dist = frenet_coords(
+            pts, wp_pos[:K], wp_fwd[:K], idx0
+        )
+        cls_blocks.append(classify(lateral, s, nearest_dist, half_width, sky, style))
+        depth_blocks.append(jnp.where(sky, jnp.inf, t))
+        sky_blocks.append(sky)
+    cls = jnp.concatenate(cls_blocks).reshape(cam.height, W)
+    depth = jnp.concatenate(depth_blocks).reshape(cam.height, W)
+    sky = jnp.concatenate(sky_blocks).reshape(cam.height, W)
+    return cls, depth, sky
+
+
+def _visible_props(
+    state: EnvState, params: EnvParams, cam: CameraConfig
+) -> Tuple[Array, Array, Array, Array]:
+    """Collect the billboard candidates in the camera's track window.
+
+    Returns (pos [N, 2] world xy, cls [N], height [N], halfwidth [N]) where
+    N = 2 * window/PROP_STRIDE roadside props + NUM_NPC_SLOTS vehicles.
+    Empty slots carry class NONE.
+    """
+    track = params.track
+    S = cam.window // PROP_STRIDE
+    n_slots_live = jnp.maximum(track.length // PROP_STRIDE, 1)
+    slot0 = (state.waypoint_idx - cam.window_behind) // PROP_STRIDE
+    slots = slot0 + jnp.arange(S, dtype=jnp.int32)
+    slot_idx = jnp.where(
+        track.is_loop,
+        jnp.mod(slots, n_slots_live),
+        jnp.clip(slots, 0, n_slots_live - 1),
     )
-    cls = classify(lateral, s, nearest_dist, half_width, sky, style)
-    return cls.reshape(cam.height, cam.width)
+    wp_i = slot_idx * PROP_STRIDE
+    wpos = wp_gather(track.pos, wp_i, track.length, track.is_loop)  # [S, 2]
+    wfwd = wp_gather(track.fwd, wp_i, track.length, track.is_loop)
+    # Left normal: cross(fwd, normal) = +1 (matches frenet lateral sign).
+    normal = jnp.stack([-wfwd[:, 1], wfwd[:, 0]], axis=-1)  # [S, 2]
+
+    pcls = jnp.take(track.prop_class, slot_idx, axis=0)  # [S, 2]
+    plat = jnp.take(track.prop_lateral, slot_idx, axis=0)
+    phgt = jnp.take(track.prop_height, slot_idx, axis=0)
+    phwd = jnp.take(track.prop_halfwidth, slot_idx, axis=0)
+    ppos = wpos[:, None, :] + normal[:, None, :] * plat[..., None]  # [S, 2, 2]
+
+    b_pos = ppos.reshape(-1, 2)
+    b_cls = pcls.reshape(-1)
+    b_hgt = phgt.reshape(-1)
+    b_hwd = phwd.reshape(-1)
+
+    # NPC vehicles: positions from their road coordinates (s, lateral).
+    M = state.npc_s.shape[0]
+    length_f = track.length.astype(jnp.float32)
+    npc_wp = jnp.where(
+        track.is_loop,
+        jnp.mod(state.npc_s, length_f),
+        jnp.clip(state.npc_s, 0.0, length_f - 1.0),
+    ).astype(jnp.int32)
+    nwpos = wp_gather(track.pos, npc_wp, track.length, track.is_loop)  # [M, 2]
+    nwfwd = wp_gather(track.fwd, npc_wp, track.length, track.is_loop)
+    n_normal = jnp.stack([-nwfwd[:, 1], nwfwd[:, 0]], axis=-1)
+    npos = nwpos + n_normal * state.npc_lateral[:, None]
+    active = jnp.arange(M) < params.num_npcs
+    ncls = jnp.where(active, int(SegClass.VEHICLES), int(SegClass.NONE))
+
+    b_pos = jnp.concatenate([b_pos, npos])
+    b_cls = jnp.concatenate([b_cls, ncls.astype(jnp.int32)])
+    b_hgt = jnp.concatenate([b_hgt, jnp.full((M,), 1.5, jnp.float32)])
+    b_hwd = jnp.concatenate([b_hwd, jnp.full((M,), 0.95, jnp.float32)])
+    return b_pos, b_cls, b_hgt, b_hwd
+
+
+def billboard_pass(
+    cls: Array,
+    depth: Array,
+    sky: Array,
+    state: EnvState,
+    params: EnvParams,
+    cam: CameraConfig,
+) -> Tuple[Array, Array, Array]:
+    """Composite prop/vehicle billboards over the ground image, depth-tested.
+
+    Each candidate is a vertical camera-facing rectangle anchored on the
+    ground: project its center column + extent to screen space, test every
+    pixel against every candidate ([P, N] broadcast - N is small), take the
+    nearest passing candidate per pixel, and overwrite ground pixels whose
+    ground intersection lies *behind* the billboard (sky pixels have infinite
+    ground depth, so buildings correctly rise above the horizon).
+    """
+    import math
+
+    b_pos, b_cls, b_hgt, b_hwd = _visible_props(state, params, cam)
+
+    H, W, focal = cam.height, cam.width, cam.focal
+    yaw = state.vehicle.yaw
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+    right = jnp.stack([jnp.sin(yaw), -jnp.cos(yaw)])
+    cam_xy = state.vehicle.pos + fwd * cam.mount_forward
+    tanp = math.tan(math.radians(cam.pitch_deg))
+
+    rel = b_pos - cam_xy[None, :]  # [N, 2]
+    f = rel @ fwd  # forward distance
+    l = rel @ right  # rightward offset
+    valid = jnp.logical_and(b_cls != int(SegClass.NONE), f > 0.5)
+    f_safe = jnp.maximum(f, 0.5)
+    u_c = W / 2.0 + focal * l / f_safe  # [N]
+    # Thin verticals (poles, sign posts) must stay sampleable at distance:
+    # clamp the projected half-width to half a pixel.
+    hw_pix = jnp.maximum(focal * b_hwd / f_safe, 0.5)
+    v_bot = H / 2.0 - focal * ((0.0 - cam.mount_height) / f_safe - tanp)
+    v_top = H / 2.0 - focal * ((b_hgt - cam.mount_height) / f_safe - tanp)
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1) + 0.5
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1) + 0.5
+
+    inside = (
+        valid[None, :]
+        & (jnp.abs(u[:, None] - u_c[None, :]) <= hw_pix[None, :])
+        & (v[:, None] >= v_top[None, :])
+        & (v[:, None] <= v_bot[None, :])
+    )  # [P, N]
+    d = jnp.where(inside, f_safe[None, :], jnp.inf)
+    best_d = jnp.min(d, axis=1)  # [P]
+    best = jnp.argmin(d, axis=1)
+    onehot = jax.nn.one_hot(best, b_cls.shape[0], dtype=jnp.float32)
+    best_cls = (onehot @ b_cls.astype(jnp.float32)).astype(jnp.int32)
+
+    depth_flat = depth.reshape(-1)
+    visible = best_d < depth_flat
+    new_cls = jnp.where(visible, best_cls, cls.reshape(-1)).reshape(H, W)
+    new_depth = jnp.where(visible, best_d, depth_flat).reshape(H, W)
+    new_sky = jnp.logical_and(sky.reshape(-1), ~visible).reshape(H, W)
+    return new_cls, new_depth, new_sky
+
+
+def render_semantic(
+    state: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+) -> Array:
+    """Render one env's seg frame, [H, W] int32 class ids. vmap over envs."""
+    cls, depth, sky = _ground_pass(state, params, cam, style)
+    if cam.render_props:
+        cls, _, _ = billboard_pass(cls, depth, sky, state, params, cam)
+    return cls
 
 
 def seg_to_obs(cls: Array) -> Array:
@@ -274,25 +511,15 @@ def render_rgb(
     per-pixel texture noise (domain randomization) so an RGB->seg VAE has a
     non-trivial mapping to learn.
     """
-    track = params.track
-    idxs = _window_indices(state.waypoint_idx, cam)
-    wp_pos = wp_gather(track.pos, idxs, track.length, track.is_loop)
-    wp_fwd = wp_gather(track.fwd, idxs, track.length, track.is_loop)
-    half_width = wp_gather(
-        track.left_width, state.waypoint_idx, track.length, track.is_loop
-    )
-
-    pts, sky, depth = ground_points(state.vehicle.pos, state.vehicle.yaw, cam)
-    lateral, s, nearest_dist = frenet_coords(
-        pts, wp_pos, wp_fwd,
-        (state.waypoint_idx - cam.window_behind).astype(jnp.float32),
-    )
-    cls = classify(lateral, s, nearest_dist, half_width, sky, style)
+    cls, depth, sky = _ground_pass(state, params, cam, style)
+    if cam.render_props:
+        cls, depth, sky = billboard_pass(cls, depth, sky, state, params, cam)
+    cls, depth, sky = cls.reshape(-1), depth.reshape(-1), sky.reshape(-1)
     base = jax.nn.one_hot(cls, SEG_PALETTE.shape[0], dtype=jnp.float32) @ SEG_PALETTE
 
     # Depth fog: fade ground toward a horizon haze color.
     haze = jnp.asarray([0.74, 0.78, 0.82])
-    fog = jnp.clip(depth / 250.0, 0.0, 1.0)[:, None]
+    fog = jnp.clip(jnp.where(sky, 0.0, depth) / 250.0, 0.0, 1.0)[:, None]
     ground_rgb = base * (1.0 - fog) + haze[None, :] * fog
 
     # Sky: vertical gradient from zenith blue to horizon haze.

@@ -52,6 +52,12 @@ class TrainerSettings:
     num_devices: int = 1
     # lap_bank (config 5): number of domain-randomized tracks in the bank.
     num_tracks: int = 16
+    # Scene richness: bake roadside props (13-class world) into the track and
+    # spawn NPC traffic. Props only affect rendered observations; NPCs add
+    # real vehicle-vehicle collisions (terminate_on_collision turns on with
+    # num_npcs > 0 so hitting one actually ends the episode).
+    rich_scene: bool = True
+    num_npcs: int = 0
     fps: int = 30
     action_smoothing: float = 0.0  # train.py:247 default
     reward_fn: str = "reward_speed_centering_angle_multiply"
@@ -83,35 +89,36 @@ class Trainer:
             os.makedirs(d, exist_ok=True)
 
         # Env params.
+        env_common = dict(
+            dt=1.0 / settings.fps,
+            action_smoothing=settings.action_smoothing,
+            reward_fn=settings.reward_fn,
+            num_npcs=jnp.int32(settings.num_npcs),
+            terminate_on_collision=settings.num_npcs > 0,
+        )
         if env_params is not None:
             self.env_params = env_params
         elif config.env_kind == "route":
             town = route_planner.make_town(seed=settings.track_seed)
-            bank = route_planner.make_route_bank(town, seed=settings.track_seed)
-            self.env_params = route_env.route_env_params(
-                bank,
-                dt=1.0 / settings.fps,
-                action_smoothing=settings.action_smoothing,
-                reward_fn=settings.reward_fn,
+            bank = route_planner.make_route_bank(
+                town, seed=settings.track_seed, props=settings.rich_scene
             )
+            self.env_params = route_env.route_env_params(bank, **env_common)
         elif config.env_kind == "lap_bank":
             from carla_ppo_tpu.envs import lap_bank_env
 
             bank = lap_bank_env.make_lap_bank(
-                n_tracks=settings.num_tracks, base_seed=settings.track_seed
+                n_tracks=settings.num_tracks,
+                base_seed=settings.track_seed,
+                props=settings.rich_scene,
             )
-            self.env_params = lap_bank_env.lap_bank_params(
-                bank,
-                dt=1.0 / settings.fps,
-                action_smoothing=settings.action_smoothing,
-                reward_fn=settings.reward_fn,
-            )
+            self.env_params = lap_bank_env.lap_bank_params(bank, **env_common)
         else:
             self.env_params = EnvParams(
-                track=track_mod.make_lap_track(seed=settings.track_seed),
-                dt=1.0 / settings.fps,
-                action_smoothing=settings.action_smoothing,
-                reward_fn=settings.reward_fn,
+                track=track_mod.make_lap_track(
+                    seed=settings.track_seed, props=settings.rich_scene
+                ),
+                **env_common,
             )
 
         # Observations: ground-truth vector or frozen-VAE latent.

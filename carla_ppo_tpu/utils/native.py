@@ -73,7 +73,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double,
         ctypes.c_int, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double,
+        ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int32),
     ]
     _lib = lib
@@ -157,7 +157,7 @@ def render_semantic_cpu(state, params, cam=None) -> np.ndarray:
         cam.window, cam.window_behind,
         style.edge_line_width, style.center_line_half_width,
         style.center_dash_period, style.center_dash_duty,
-        style.sidewalk_width,
+        style.shoulder_width, style.sidewalk_width,
         _ptr(out, ctypes.c_int32),
     )
     return out.reshape(cam.height, cam.width)

@@ -171,6 +171,7 @@ int64_t route_astar(const double* nodes_xy, int64_t n_nodes,
 
 enum {
   SEG_NONE = 0,
+  SEG_OTHER = 3,
   SEG_ROADLINES = 6,
   SEG_ROADS = 7,
   SEG_SIDEWALKS = 8,
@@ -190,7 +191,8 @@ void render_semantic_cpu(
     int window, int window_behind,
     // Road style.
     double edge_line_width, double center_line_half_width,
-    double center_dash_period, double center_dash_duty, double sidewalk_width,
+    double center_dash_period, double center_dash_duty, double shoulder_width,
+    double sidewalk_width,
     // Output [height * width] class ids.
     int32_t* out) {
   const double f = (width / 2.0) / std::tan(fov_deg * M_PI / 360.0);
@@ -257,13 +259,15 @@ void render_semantic_cpu(
         if (smod < 0) smod += center_dash_period;
         const bool dash_on = smod < center_dash_period * center_dash_duty;
         const bool center_line = alat <= center_line_half_width && dash_on;
-        const bool sidewalk =
-            alat > half_width && alat <= half_width + sidewalk_width;
-        const bool corridor =
-            nearest_dist <= half_width + sidewalk_width + 25.0;
+        const bool shoulder =
+            alat > half_width && alat <= half_width + shoulder_width;
+        const double side0 = half_width + shoulder_width;
+        const bool sidewalk = alat > side0 && alat <= side0 + sidewalk_width;
+        const bool corridor = nearest_dist <= side0 + sidewalk_width + 25.0;
 
         cls = SEG_VEGETATION;
         if (sidewalk) cls = SEG_SIDEWALKS;
+        if (shoulder) cls = SEG_OTHER;
         if (on_road) cls = SEG_ROADS;
         if (on_road && center_line) cls = SEG_ROADLINES;
         if (edge_line) cls = SEG_ROADLINES;

@@ -114,6 +114,23 @@ def test_seg_to_rgb_palette():
     np.testing.assert_allclose(rgb[0, 1], [0, 0, 0], atol=1e-6)
 
 
+def test_row_stripes_match_full_window(lap_params):
+    """Stripe narrowing is an optimization, not a semantic change: frames
+    must (near-)exactly match the single full-window pass."""
+    striped_cam = R.CameraConfig(row_stripes=True)
+    full_cam = R.CameraConfig(row_stripes=False)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+    states = jax.vmap(lambda k: lap_env.reset(lap_params, k))(keys)
+    # Advance along the track so the window isn't at the spawn.
+    for _ in range(20):
+        states, _ = jax.vmap(
+            lambda s, a: lap_env.step(s, a, lap_params)
+        )(states, jnp.tile(jnp.array([0.1, 1.0]), (4, 1)))
+    a = np.asarray(R.render_batch(states, lap_params, striped_cam))
+    b = np.asarray(R.render_batch(states, lap_params, full_cam))
+    assert (a == b).mean() > 0.999
+
+
 def test_render_batch(lap_params):
     B = 4
     keys = jax.random.split(jax.random.PRNGKey(0), B)
