@@ -4,6 +4,12 @@ Fuses the whole raycast -> nearest-centerline -> classify pipeline per
 (env, pixel-tile): the K-waypoint window sits in VMEM, the [TILE, K] distance
 block lives only in VMEM, and a single int32 class tile leaves the kernel.
 
+Scope: the GROUND pass (roads/lines/shoulder/sidewalk/vegetation/sky) only —
+the same work as rasterizer._ground_pass. The billboard pass (props, NPC
+vehicles) is a cheap [P, N] composite that stays in XLA either way; to get a
+full scene-rich frame from these kernels, run rasterizer.billboard_pass over
+the kernel output exactly as render_semantic does over _ground_pass.
+
 Mosaic-friendly layout (see pallas_guide "Tiling Constraints" and "Common
 Pitfalls"): every per-pixel tensor keeps a native (SUB, LANE) = (16, 128)
 vector shape end to end - no 1D reshapes (Mosaic rejects such shape casts);
@@ -141,13 +147,18 @@ def _raster_kernel(
         style.center_dash_period * style.center_dash_duty
     )
     center_line = jnp.logical_and(alat <= style.center_line_half_width, dash_on)
-    sidewalk = jnp.logical_and(
-        alat > half_width, alat <= half_width + style.sidewalk_width
+    shoulder = jnp.logical_and(
+        alat > half_width, alat <= half_width + style.shoulder_width
     )
-    corridor = nearest_dist <= half_width + style.sidewalk_width + 25.0
+    side0 = half_width + style.shoulder_width
+    sidewalk = jnp.logical_and(
+        alat > side0, alat <= side0 + style.sidewalk_width
+    )
+    corridor = nearest_dist <= side0 + style.sidewalk_width + 25.0
 
     cls = jnp.full((SUB, LANE), int(SegClass.VEGETATION), jnp.int32)
     cls = jnp.where(sidewalk, int(SegClass.SIDEWALKS), cls)
+    cls = jnp.where(shoulder, int(SegClass.OTHER), cls)
     cls = jnp.where(on_road, int(SegClass.ROADS), cls)
     cls = jnp.where(
         jnp.logical_and(on_road, center_line), int(SegClass.ROADLINES), cls
@@ -309,13 +320,18 @@ def _raster_kernel_v2(
         style.center_dash_period * style.center_dash_duty
     )
     center_line = jnp.logical_and(alat <= style.center_line_half_width, dash_on)
-    sidewalk = jnp.logical_and(
-        alat > half_width, alat <= half_width + style.sidewalk_width
+    shoulder = jnp.logical_and(
+        alat > half_width, alat <= half_width + style.shoulder_width
     )
-    corridor = nearest_dist <= half_width + style.sidewalk_width + 25.0
+    side0 = half_width + style.shoulder_width
+    sidewalk = jnp.logical_and(
+        alat > side0, alat <= side0 + style.sidewalk_width
+    )
+    corridor = nearest_dist <= side0 + style.sidewalk_width + 25.0
 
     cls = jnp.full((TILE2, 1), int(SegClass.VEGETATION), jnp.int32)
     cls = jnp.where(sidewalk, int(SegClass.SIDEWALKS), cls)
+    cls = jnp.where(shoulder, int(SegClass.OTHER), cls)
     cls = jnp.where(on_road, int(SegClass.ROADS), cls)
     cls = jnp.where(
         jnp.logical_and(on_road, center_line), int(SegClass.ROADLINES), cls
