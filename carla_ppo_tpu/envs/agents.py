@@ -1,11 +1,13 @@
 """Scripted driving agents (classical autopilot baselines).
 
-Parity with reference: CarlaEnv/agents/ - `Agent` base (hazard checks),
-`BasicAgent` (PID-follow a planned route to a destination,
-basic_agent.py:49-124) and `RoamingAgent` (follow the road forever,
-roaming_agent.py:16-74). The reference ships them alongside the planner; they
-are not used by the RL path but serve as baselines and data-collection
-drivers - same here.
+Parity with reference: CarlaEnv/agents/ - `Agent` base (hazard checks:
+`_is_vehicle_hazard`, agent.py:61-118, brakes for a vehicle ahead on the same
+lane; traffic lights don't exist in our synthesized towns, matching the
+reference's training routes), `BasicAgent` (PID-follow a planned route to a
+destination, basic_agent.py:49-124) and `RoamingAgent` (follow the road
+forever, roaming_agent.py:16-74). The reference ships them alongside the
+planner; they are not used by the RL path but serve as baselines and
+data-collection drivers - same here.
 
 The agents are pure step functions over (EnvState, agent state) so they run
 under jit/vmap/scan, e.g. as a vectorized baseline fleet.
@@ -36,12 +38,49 @@ class AgentState:
         )
 
 
+def is_vehicle_hazard(
+    env_state: EnvState,
+    env_params: EnvParams,
+    proximity: float = 10.0,
+    lane_halfwidth: float = 1.75,
+) -> Array:
+    """True when an NPC vehicle is ahead of the ego on the same lane within
+    `proximity` meters (reference: agent.py:61-118 _is_vehicle_hazard - same
+    three tests: ahead of us, on our lane, within the proximity threshold;
+    the reference uses map waypoints + is_within_distance_ahead, we use the
+    shared road coordinates the whole simulator runs in)."""
+    from carla_ppo_tpu.envs import geometry
+    from carla_ppo_tpu.envs.observations import wp_gather
+
+    track = env_params.track
+    M = env_state.npc_s.shape[0]
+    length_f = track.length.astype(jnp.float32)
+    ego_s = env_state.waypoint_idx.astype(jnp.float32)
+    ds = env_state.npc_s - ego_s
+    ds = jnp.where(
+        track.is_loop,
+        jnp.mod(ds + length_f / 2.0, length_f) - length_f / 2.0,
+        ds,
+    )
+    cur = wp_gather(track.pos, env_state.waypoint_idx, track.length, track.is_loop)
+    nxt = wp_gather(
+        track.pos, env_state.waypoint_idx + 1, track.length, track.is_loop
+    )
+    ego_lat = geometry.signed_distance_to_line(cur, nxt, env_state.vehicle.pos)
+    active = jnp.arange(M) < env_params.num_npcs
+    ahead = jnp.logical_and(ds > 0.0, ds < proximity)
+    same_lane = jnp.abs(env_state.npc_lateral - ego_lat) < lane_halfwidth
+    return jnp.any(active & ahead & same_lane)
+
+
 def roaming_agent_step(
     agent: AgentState, env_state: EnvState, env_params: EnvParams
 ) -> Tuple[Array, AgentState]:
     """Follow the current road at the target speed, slowing for curvature
     (reference: roaming_agent.py:16-74 runs a LocalPlanner at a fixed speed;
-    we add curvature-aware slowdown since our tracks have tight turns)."""
+    we add curvature-aware slowdown since our tracks have tight turns) and
+    performing an emergency stop when a vehicle hazard is detected ahead
+    (reference: roaming_agent.py:49-63 -> agent.py emergency_stop)."""
     from carla_ppo_tpu.envs import geometry
     from carla_ppo_tpu.envs.observations import wp_gather
 
@@ -57,6 +96,11 @@ def roaming_agent_step(
     action, controller = agent.controller.run_step(
         env_state, env_params, agent.target_speed_kmh * slow
     )
+    # Emergency stop on a vehicle hazard: keep steering, cut throttle (the
+    # action space has no brake channel; drag decelerates, exactly what the
+    # ego can do - reference: agent.py emergency_stop sets throttle 0).
+    hazard = is_vehicle_hazard(env_state, env_params)
+    action = jnp.where(hazard, jnp.stack([action[0], 0.0]), action)
     return action, agent.replace(controller=controller)
 
 

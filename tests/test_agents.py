@@ -86,3 +86,43 @@ def test_roaming_agent_vmapped(lap_params):
         lambda a, s: agents.roaming_agent_step(a, s, lap_params)
     )(agent, states)
     assert actions.shape == (B, 2)
+
+
+def test_vehicle_hazard_detection(lap_params):
+    """is_vehicle_hazard fires only for an active NPC ahead on our lane
+    (reference: agent.py:61-118 _is_vehicle_hazard)."""
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    params_traffic = lap_params.replace(num_npcs=jnp.int32(1))
+    ego_s = float(s.waypoint_idx)
+
+    def with_npc(ds, lateral):
+        return s.replace(
+            npc_s=s.npc_s.at[0].set(ego_s + ds),
+            npc_lateral=s.npc_lateral.at[0].set(lateral),
+        )
+
+    # Ahead, same lane -> hazard.
+    assert bool(agents.is_vehicle_hazard(with_npc(6.0, 0.0), params_traffic))
+    # Ahead but other side of the road -> no hazard.
+    assert not bool(agents.is_vehicle_hazard(with_npc(6.0, 2.5), params_traffic))
+    # Behind -> no hazard.
+    assert not bool(agents.is_vehicle_hazard(with_npc(-6.0, 0.0), params_traffic))
+    # Too far ahead -> no hazard.
+    assert not bool(agents.is_vehicle_hazard(with_npc(40.0, 0.0), params_traffic))
+    # Inactive slot (num_npcs=0) -> no hazard.
+    assert not bool(agents.is_vehicle_hazard(with_npc(6.0, 0.0), lap_params))
+
+
+def test_roaming_agent_emergency_stop(lap_params):
+    """The autopilot cuts throttle when a vehicle blocks the lane ahead."""
+    s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
+    params_traffic = lap_params.replace(num_npcs=jnp.int32(1))
+    agent = agents.AgentState.create(target_speed_kmh=18.0)
+    blocked = s.replace(
+        npc_s=s.npc_s.at[0].set(float(s.waypoint_idx) + 5.0),
+        npc_lateral=s.npc_lateral.at[0].set(0.0),
+    )
+    a_blocked, _ = agents.roaming_agent_step(agent, blocked, params_traffic)
+    a_free, _ = agents.roaming_agent_step(agent, s, params_traffic)
+    assert float(a_blocked[1]) == 0.0  # throttle cut
+    assert float(a_free[1]) > 0.0
