@@ -238,13 +238,18 @@ def step(
         state.checkpoint_idx,
     )
 
-    # Lane invasion / collision events. The track's lane half-width bounds the
-    # driving lane; beyond half-width + shoulder we call it a collision with
+    # Lane invasion / collision events. The road's per-waypoint widths bound
+    # the paved area - asymmetric on dual-lane roads (the other lane extends
+    # it on one side); beyond the edge + shoulder we call it a collision with
     # the roadside. (The reference only HUD-notifies these,
     # carla_lap_env.py:453-459; termination is opt-in here.)
-    half_width = wp_gather(track.left_width, waypoint_idx, track.length, track.is_loop)
-    lane_invasion = distance_from_center > half_width
-    collision = distance_from_center > half_width + 1.5
+    cur_wp = wp_gather(track.pos, waypoint_idx, track.length, track.is_loop)
+    nxt_wp = wp_gather(track.pos, waypoint_idx + 1, track.length, track.is_loop)
+    ego_lat = geometry.signed_distance_to_line(cur_wp, nxt_wp, vehicle.pos)
+    lw = wp_gather(track.left_width, waypoint_idx, track.length, track.is_loop)
+    rw = wp_gather(track.right_width, waypoint_idx, track.length, track.is_loop)
+    lane_invasion = jnp.logical_or(ego_lat > lw, ego_lat < -rw)
+    collision = jnp.logical_or(ego_lat > lw + 1.5, ego_lat < -(rw + 1.5))
 
     # NPC traffic tick + REAL vehicle-vehicle collision (the reference's
     # collision sensor fires on actual actors, CarlaEnv/wrappers.py:85-115).
@@ -260,9 +265,6 @@ def step(
         jnp.mod(ds + length_f / 2.0, length_f) - length_f / 2.0,
         ds,
     )
-    cur_wp = wp_gather(track.pos, waypoint_idx, track.length, track.is_loop)
-    nxt_wp = wp_gather(track.pos, waypoint_idx + 1, track.length, track.is_loop)
-    ego_lat = geometry.signed_distance_to_line(cur_wp, nxt_wp, vehicle.pos)
     npc_hit = jnp.any(
         active_npc
         & (jnp.abs(ds) < params.npc_collision_s)

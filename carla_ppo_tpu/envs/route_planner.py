@@ -43,10 +43,16 @@ _STRAIGHT_THRESHOLD = math.radians(35.0)
 
 @dataclasses.dataclass
 class TownMap:
-    """A planar road graph: node positions + undirected edges."""
+    """A planar road graph: node positions + undirected edges.
+
+    `dual` flags edges that are dual-lane carriageways (two same-direction
+    lanes, LANE_WIDTH apart) - the graph feature behind lane-change routing
+    (the reference builds lane-change links from CARLA's multi-lane roads,
+    global_route_planner.py:169, 263-322)."""
 
     nodes: np.ndarray  # [N, 2] float
     edges: List[Tuple[int, int]]
+    dual: List[bool] | None = None  # aligned with `edges`; None = all single
 
     def to_networkx(self):
         import networkx as nx
@@ -59,6 +65,13 @@ class TownMap:
             g.add_edge(a, b, weight=w)
         return g
 
+    def dual_lookup(self) -> Dict[frozenset, bool]:
+        if self.dual is None:
+            return {}
+        return {
+            frozenset(e): bool(d) for e, d in zip(self.edges, self.dual)
+        }
+
 
 def make_town(
     seed: int = 0,
@@ -66,8 +79,11 @@ def make_town(
     spacing: float = 120.0,
     jitter: float = 18.0,
     drop_edge_prob: float = 0.18,
+    dual_lane_prob: float = 0.3,
 ) -> TownMap:
-    """Jittered-grid road network, guaranteed connected."""
+    """Jittered-grid road network, guaranteed connected; ~`dual_lane_prob` of
+    the roads are dual-lane carriageways (lane-change routing happens on
+    these)."""
     import networkx as nx
 
     rng = np.random.default_rng(seed)
@@ -99,7 +115,9 @@ def make_town(
         if nx.is_connected(g):
             break
         g.add_edge(*e)
-    return TownMap(nodes=nodes, edges=list(g.edges))
+    edges = list(g.edges)
+    dual = [bool(rng.uniform() < dual_lane_prob) for _ in edges]
+    return TownMap(nodes=nodes, edges=edges, dual=dual)
 
 
 def _fillet_path(
@@ -166,20 +184,35 @@ def _junction_maneuvers(
     return out
 
 
+# Lane width (m); CARLA Town07 lanes are ~3.5 m (track.DEFAULT_HALF_WIDTH*2).
+LANE_WIDTH = 2.0 * track_mod.DEFAULT_HALF_WIDTH
+# Dual-lane edges shorter than this stay single (no room for lane logistics).
+_MIN_DUAL_LENGTH = 60.0
+
+
 def compute_route_waypoints(
     town: TownMap,
     start_node: int,
     end_node: int,
     resolution: float = 1.0,
     use_native: bool = True,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """A* route -> (pos [n,2], fwd [n,2], maneuver [n]) at 1 m resolution.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """A* route -> (pos [n,2], fwd [n,2], maneuver [n], left_width [n],
+    right_width [n]) at 1 m resolution.
 
     Maneuver tagging mirrors the reference's planner: LANEFOLLOW between
     junctions, and the junction's turn decision painted over the waypoints
     within ~15 m of the junction (the reference back-extends maneuvers 5
     waypoints before junctions, planner.py:115-124; our fillets are longer so
     the painted window is wider).
+
+    Lane-change routing (reference: global_route_planner.py:169 builds
+    lane-change links; :263-322 emits CHANGELANELEFT/RIGHT): on a dual-lane
+    edge the route enters on the RIGHT lane (drive-on-right convention) and,
+    when the junction at the edge's far end turns LEFT, shifts to the left
+    lane mid-edge - those waypoints are tagged CHANGELANELEFT and the
+    per-waypoint widths are asymmetric (the other lane extends the road on
+    one side), so the renderer draws a genuine two-lane carriageway.
 
     The search runs in native C++ when the library is built (utils/native.py),
     falling back to networkx - both produce shortest paths under the same
@@ -205,17 +238,96 @@ def compute_route_waypoints(
         node_path = nx.astar_path(
             g, start_node, end_node, heuristic=h, weight="weight"
         )
-    raw = town.nodes[np.asarray(node_path)]
+
+    dual = town.dual_lookup()
+    junctions = _junction_maneuvers(node_path, town.nodes)
+    turn_at = {i + 1: opt for i, (_, opt) in enumerate(junctions)}
+
+    # Macro polyline with lane offsets on dual edges.
+    pts: List[np.ndarray] = [town.nodes[node_path[0]]]
+    lane_changes: List[Tuple[np.ndarray, int, float]] = []  # (mid, opt, span)
+    dual_edges: List[Tuple[np.ndarray, np.ndarray]] = []  # (a, b) of dual edges
+    for i in range(len(node_path) - 1):
+        a = town.nodes[node_path[i]].astype(np.float64)
+        b = town.nodes[node_path[i + 1]].astype(np.float64)
+        L = float(np.linalg.norm(b - a))
+        u = (b - a) / L
+        nr = np.array([u[1], -u[0]])  # right normal of the travel direction
+        is_dual = dual.get(frozenset((node_path[i], node_path[i + 1])), False)
+        if is_dual and L >= _MIN_DUAL_LENGTH:
+            off_r = nr * (LANE_WIDTH / 2.0)
+            turn_in = turn_at.get(i, int(RoadOption.STRAIGHT))
+            turn_out = turn_at.get(i + 1, int(RoadOption.STRAIGHT))
+            # Exit on the left lane when the next junction turns left.
+            change = turn_out == int(RoadOption.LEFT)
+            exit_off = -off_r if change else off_r
+            # Keep lane-offset points well away from turning junctions so the
+            # corner fillets keep their full radius (a merge point 0.15L from
+            # a 90-degree corner clamps the fillet to an undrivable arc).
+            enter_frac = 0.40 if turn_in != int(RoadOption.STRAIGHT) else 0.15
+            exit_frac = 0.60 if turn_out != int(RoadOption.STRAIGHT) else 0.85
+            pts.append(a + u * (enter_frac * L) + off_r)
+            if change:
+                if enter_frac < 0.45:
+                    pts.append(a + u * (0.45 * L) + off_r)
+                pts.append(a + u * (0.60 * L) + exit_off)
+                lane_changes.append(
+                    (a + u * (0.525 * L), int(RoadOption.CHANGELANELEFT), 0.15 * L)
+                )
+            elif exit_frac > enter_frac:
+                pts.append(a + u * (exit_frac * L) + exit_off)
+            dual_edges.append((a, b))
+        pts.append(b)
+    raw = np.asarray(pts)
     smooth = _fillet_path(raw)
 
     pos = track_mod._resample_polyline(smooth, resolution, closed=False)
     fwd = track_mod._forward_vectors(pos, closed=False)
 
     maneuver = np.full(pos.shape[0], int(RoadOption.LANEFOLLOW), np.int32)
-    for junction_pos, opt in _junction_maneuvers(node_path, town.nodes):
+    for junction_pos, opt in junctions:
         d = np.linalg.norm(pos - junction_pos[None, :], axis=1)
         maneuver[d < 15.0] = opt
-    return pos.astype(np.float32), fwd.astype(np.float32), maneuver
+    for mid, opt, span in lane_changes:
+        d = np.linalg.norm(pos - mid[None, :], axis=1)
+        maneuver[d < span / 2.0 + 4.0] = opt
+
+    # Per-waypoint road widths: symmetric single lane by default; on dual
+    # edges the OTHER lane extends the road on the side away from the one we
+    # drive (continuously, so merges don't step the road edge).
+    lw = np.full(pos.shape[0], track_mod.DEFAULT_HALF_WIDTH, np.float32)
+    rw = np.full(pos.shape[0], track_mod.DEFAULT_HALF_WIDTH, np.float32)
+    for a, b in dual_edges:
+        L = float(np.linalg.norm(b - a))
+        u = (b - a) / L
+        nr = np.array([u[1], -u[0]])
+        rel = pos - a[None, :]
+        along = rel @ u
+        r = rel @ nr  # + = right of the edge axis
+        ar = np.abs(r)
+        onseg = (along > -2.0) & (along < L + 2.0) & (ar < 2.5 * LANE_WIDTH)
+        # Trapezoid in |r|: ramps up to full width at the lane center, holds,
+        # and fades out by 2.5 lanes off-axis - every boundary (including the
+        # fillet arcs that swing wide near junctions) is continuous.
+        frac = np.clip(
+            np.minimum(
+                ar / (LANE_WIDTH / 2.0),
+                (2.5 * LANE_WIDTH - ar) / (1.5 * LANE_WIDTH),
+            ),
+            0.0,
+            1.0,
+        )
+        # Taper to single-lane width within ~6 m of the edge ends so the
+        # road edge never steps discontinuously at junction handoffs.
+        taper = np.clip((along + 2.0) / 6.0, 0.0, 1.0) * np.clip(
+            (L + 2.0 - along) / 6.0, 0.0, 1.0
+        )
+        extra = (LANE_WIDTH * frac * taper).astype(np.float32)
+        right_lane = onseg & (r > 0)
+        left_lane = onseg & (r < 0)
+        lw[right_lane] = np.maximum(lw[right_lane], track_mod.DEFAULT_HALF_WIDTH + extra[right_lane])
+        rw[left_lane] = np.maximum(rw[left_lane], track_mod.DEFAULT_HALF_WIDTH + extra[left_lane])
+    return pos.astype(np.float32), fwd.astype(np.float32), maneuver, lw, rw
 
 
 def make_route_bank(
@@ -237,6 +349,8 @@ def make_route_bank(
     pos_b = np.zeros((n_routes, capacity, 2), np.float32)
     fwd_b = np.zeros((n_routes, capacity, 2), np.float32)
     man_b = np.full((n_routes, capacity), int(RoadOption.LANEFOLLOW), np.int32)
+    lw_b = np.full((n_routes, capacity), half_width, np.float32)
+    rw_b = np.full((n_routes, capacity), half_width, np.float32)
     len_b = np.zeros((n_routes,), np.int32)
 
     made = 0
@@ -247,7 +361,7 @@ def make_route_bank(
             raise RuntimeError("could not sample enough valid routes")
         a, b = rng.choice(n_nodes, size=2, replace=False)
         try:
-            pos, fwd, man = compute_route_waypoints(town, int(a), int(b))
+            pos, fwd, man, lw, rw = compute_route_waypoints(town, int(a), int(b))
         except Exception:
             continue
         n = min(len(pos), capacity)
@@ -256,14 +370,17 @@ def make_route_bank(
         pos_b[made, :n] = pos[:n]
         fwd_b[made, :n] = fwd[:n]
         man_b[made, :n] = man[:n]
+        lw_b[made, :n] = lw[:n]
+        rw_b[made, :n] = rw[:n]
         # Pad with the final waypoint (keeps gathers on-road).
         pos_b[made, n:] = pos[n - 1]
         fwd_b[made, n:] = fwd[n - 1]
         man_b[made, n:] = man[n - 1]
+        lw_b[made, n:] = lw[n - 1]
+        rw_b[made, n:] = rw[n - 1]
         len_b[made] = n
         made += 1
 
-    widths = np.full((capacity,), half_width, np.float32)
     n_slots = capacity // PROP_STRIDE
     routes = []
     for i in range(n_routes):
@@ -271,8 +388,8 @@ def make_route_bank(
             pos=jnp.asarray(pos_b[i]),
             fwd=jnp.asarray(fwd_b[i]),
             maneuver=jnp.asarray(man_b[i]),
-            left_width=jnp.asarray(widths),
-            right_width=jnp.asarray(widths),
+            left_width=jnp.asarray(lw_b[i]),
+            right_width=jnp.asarray(rw_b[i]),
             length=jnp.int32(int(len_b[i])),
             is_loop=jnp.bool_(False),
             prop_class=jnp.full((n_slots, 2), int(SegClass.NONE), jnp.int32),

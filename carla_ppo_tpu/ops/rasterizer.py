@@ -191,15 +191,19 @@ def frenet_coords(
     wp_pos: Array,
     wp_fwd: Array,
     wp_index0: Array,
-) -> Tuple[Array, Array, Array]:
+    wp_extras: Array | None = None,
+) -> Tuple[Array, Array, Array] | Tuple[Array, Array, Array, Array]:
     """Road-local coordinates of world points via matmul nearest-waypoint.
 
     Args:
       pts: [P, 2] world points.
       wp_pos / wp_fwd: [K, 2] waypoint window (positions, unit forwards).
       wp_index0: [] global index of window slot 0 (for the s coordinate).
+      wp_extras: optional [K, E] per-waypoint payload (e.g. road widths) to
+        fetch alongside pos/fwd - rides the same one-hot matmul.
 
-    Returns (signed_lateral [P], s [P] meters along route, nearest_dist [P]).
+    Returns (signed_lateral [P], s [P] meters along route, nearest_dist [P])
+    plus (extras [P, E]) when wp_extras is given.
     """
     # Squared distances [P, K]: recenter to the window's first waypoint, then
     # expand |p|^2 - 2 p.w + |w|^2 so the cross term rides the MXU. The
@@ -221,9 +225,10 @@ def frenet_coords(
     # One-hot matmul gather of the nearest waypoint's data.  [P,K]x[K,4] -> MXU
     K = wp_pos.shape[0]
     onehot = jax.nn.one_hot(nearest, K, dtype=pts.dtype)  # [P, K]
-    table = jnp.concatenate([wp_pos, wp_fwd], axis=1)  # [K, 4]
-    near = onehot @ table  # [P, 4]
-    n_pos, n_fwd = near[:, :2], near[:, 2:]
+    cols = [wp_pos, wp_fwd] + ([wp_extras] if wp_extras is not None else [])
+    table = jnp.concatenate(cols, axis=1)  # [K, 4 + E]
+    near = onehot @ table  # [P, 4 + E]
+    n_pos, n_fwd = near[:, :2], near[:, 2:4]
 
     rel = pts - n_pos
     lateral = n_fwd[:, 0] * rel[:, 1] - n_fwd[:, 1] * rel[:, 0]  # cross z
@@ -232,6 +237,8 @@ def frenet_coords(
     # |p|^2 - 2p.w + |w|^2 can dip slightly negative in f32; clamp before sqrt.
     d2_min = jnp.maximum(jnp.min(d2, axis=1), 0.0)
     nearest_dist = jnp.sqrt(d2_min)
+    if wp_extras is not None:
+        return lateral, s, nearest_dist, near[:, 4:]
     return lateral, s, nearest_dist
 
 
@@ -239,30 +246,46 @@ def classify(
     lateral: Array,
     s: Array,
     nearest_dist: Array,
-    half_width: Array,
+    left_width: Array,
     sky: Array,
     style: RoadStyle,
+    right_width: Array | None = None,
 ) -> Array:
-    """Frenet coordinates -> CARLA 13-class ids, [P] int32."""
-    alat = jnp.abs(lateral)
-    on_road = alat <= half_width
-    edge_line = jnp.abs(alat - half_width) <= style.edge_line_width / 2.0
+    """Frenet coordinates -> CARLA 13-class ids, [P] int32.
+
+    Widths may be asymmetric (per pixel, from the nearest waypoint): a
+    dual-lane carriageway extends the paved road on the side of the other
+    lane, and the dashed line marks the ROAD center (= the lane boundary on
+    dual-lane roads), not the driven-lane center. With `right_width` omitted
+    the road is symmetric about the centerline (left_width each side)."""
+    rw = left_width if right_width is None else right_width
+    # Signed band tests: + lateral = left of the forward direction.
+    on_road = jnp.logical_and(lateral >= -rw, lateral <= left_width)
+    edge_line = jnp.logical_or(
+        jnp.abs(lateral - left_width) <= style.edge_line_width / 2.0,
+        jnp.abs(lateral + rw) <= style.edge_line_width / 2.0,
+    )
     dash_on = jnp.mod(s, style.center_dash_period) < (
         style.center_dash_period * style.center_dash_duty
     )
+    road_center = (left_width - rw) / 2.0
     center_line = jnp.logical_and(
-        alat <= style.center_line_half_width, dash_on
+        jnp.abs(lateral - road_center) <= style.center_line_half_width, dash_on
     )
-    shoulder = jnp.logical_and(
-        alat > half_width, alat <= half_width + style.shoulder_width
-    )
-    side0 = half_width + style.shoulder_width
+    # Off-road distance from the nearer edge.
+    off = jnp.maximum(lateral - left_width, -rw - lateral)
+    shoulder = jnp.logical_and(off > 0.0, off <= style.shoulder_width)
     sidewalk = jnp.logical_and(
-        alat > side0, alat <= side0 + style.sidewalk_width
+        off > style.shoulder_width,
+        off <= style.shoulder_width + style.sidewalk_width,
     )
     # Points whose nearest waypoint is far away are off the road corridor
     # entirely (window exhausted / behind the camera): vegetation.
-    corridor = nearest_dist <= side0 + style.sidewalk_width + 25.0
+    widest = jnp.maximum(left_width, rw)
+    corridor = (
+        nearest_dist
+        <= widest + style.shoulder_width + style.sidewalk_width + 25.0
+    )
 
     cls = jnp.full(lateral.shape, int(SegClass.VEGETATION), jnp.int32)
     cls = jnp.where(sidewalk, int(SegClass.SIDEWALKS), cls)
@@ -298,9 +321,11 @@ def _ground_pass(
     idxs = _window_indices(state.waypoint_idx, cam)
     wp_pos = wp_gather(track.pos, idxs, track.length, track.is_loop)
     wp_fwd = wp_gather(track.fwd, idxs, track.length, track.is_loop)
-    half_width = wp_gather(
-        track.left_width, state.waypoint_idx, track.length, track.is_loop
-    )
+    # Per-waypoint widths ride the one-hot payload fetch so asymmetric
+    # (dual-lane) roads render correctly per pixel.
+    wp_lw = wp_gather(track.left_width, idxs, track.length, track.is_loop)
+    wp_rw = wp_gather(track.right_width, idxs, track.length, track.is_loop)
+    wp_widths = jnp.stack([wp_lw, wp_rw], axis=1)  # [K, 2]
     idx0 = (state.waypoint_idx - cam.window_behind).astype(jnp.float32)
 
     W = cam.width
@@ -315,10 +340,15 @@ def _ground_pass(
         pts, sky, t = ground_points(
             state.vehicle.pos, state.vehicle.yaw, cam, row_lo, row_hi
         )
-        lateral, s, nearest_dist = frenet_coords(
-            pts, wp_pos[:K], wp_fwd[:K], idx0
+        lateral, s, nearest_dist, widths = frenet_coords(
+            pts, wp_pos[:K], wp_fwd[:K], idx0, wp_extras=wp_widths[:K]
         )
-        cls_blocks.append(classify(lateral, s, nearest_dist, half_width, sky, style))
+        cls_blocks.append(
+            classify(
+                lateral, s, nearest_dist, widths[:, 0], sky, style,
+                right_width=widths[:, 1],
+            )
+        )
         depth_blocks.append(jnp.where(sky, jnp.inf, t))
         sky_blocks.append(sky)
     cls = jnp.concatenate(cls_blocks).reshape(cam.height, W)

@@ -33,7 +33,7 @@ def test_town_connected(town):
 
 
 def test_route_waypoints_resolution(town):
-    pos, fwd, man = route_planner.compute_route_waypoints(town, 0, 24)
+    pos, fwd, man, _, _ = route_planner.compute_route_waypoints(town, 0, 24)
     seg = np.linalg.norm(np.diff(pos, axis=0), axis=1)
     np.testing.assert_allclose(seg, 1.0, atol=0.05)
     np.testing.assert_allclose(np.linalg.norm(fwd, axis=1), 1.0, atol=1e-4)
@@ -44,7 +44,7 @@ def test_route_waypoints_resolution(town):
 def test_route_is_shortest_ish(town):
     """A* route length is at least the straight-line distance and not
     absurdly longer."""
-    pos, _, _ = route_planner.compute_route_waypoints(town, 0, 24)
+    pos, _, _, _, _ = route_planner.compute_route_waypoints(town, 0, 24)
     direct = np.linalg.norm(town.nodes[24] - town.nodes[0])
     assert direct <= len(pos) <= 2.5 * direct
 
@@ -157,3 +157,119 @@ def test_route_chaining_resets_low_speed_grace(rparams, bank):
     assert int(s2.num_routes_completed) == 1
     assert not bool(out.done)  # fresh grace period, no instant kill
     assert float(s2.low_speed_timer) < 1.0
+
+
+# --- lane-change routing (reference: global_route_planner.py:169, 263-322) ---
+
+
+def _route_with_lane_change(town, rng_seed=0):
+    """Find (a, b) whose route contains a CHANGELANE maneuver."""
+    rng = np.random.default_rng(rng_seed)
+    for _ in range(300):
+        a, b = rng.choice(len(town.nodes), 2, replace=False)
+        out = route_planner.compute_route_waypoints(town, int(a), int(b))
+        if int(RoadOption.CHANGELANELEFT) in set(out[2].tolist()):
+            return out
+    return None
+
+
+def test_lane_change_routes_exist(town):
+    """Dual-lane edges + left turns force mid-edge lane changes; the planner
+    must emit CHANGELANELEFT maneuvers with a real lateral shift."""
+    out = _route_with_lane_change(town)
+    assert out is not None, "no route with a lane change in 300 samples"
+    pos, fwd, man, lw, rw = out
+    change = man == int(RoadOption.CHANGELANELEFT)
+    assert change.sum() >= 5  # painted over a ~10-20 m span
+    # The change happens between junctions, not inside turn paint.
+    assert not np.any(change & (man == int(RoadOption.LEFT)))
+
+
+def test_dual_lane_widths_asymmetric(town):
+    """On a dual-lane edge the road extends on the side of the other lane:
+    per-waypoint widths become asymmetric, summing to ~two lanes."""
+    out = _route_with_lane_change(town)
+    assert out is not None
+    pos, fwd, man, lw, rw = out
+    asym = np.abs(lw - rw) > 2.0
+    assert asym.sum() >= 20, "no asymmetric-width section found"
+    total = lw + rw
+    # Within the dual section the paved width approaches two lanes.
+    assert float(total.max()) > 1.8 * 2 * route_planner.track_mod.DEFAULT_HALF_WIDTH
+    # Widths stay continuous (no >1 m steps between 1 m-spaced waypoints).
+    assert float(np.abs(np.diff(lw)).max()) < 1.0
+    assert float(np.abs(np.diff(rw)).max()) < 1.0
+
+
+def test_lane_change_geometry_drivable(town):
+    """The lane-shift section stays smooth: forward vectors rotate slowly."""
+    out = _route_with_lane_change(town)
+    assert out is not None
+    pos, fwd, man, lw, rw = out
+    heading = np.arctan2(fwd[:, 1], fwd[:, 0])
+    dh = np.abs(np.diff(np.unwrap(heading)))
+    assert float(dh.max()) < 0.15  # < ~8.6 deg per meter everywhere
+
+
+def test_route_bank_carries_widths(town):
+    bank = route_planner.make_route_bank(town, n_routes=16, capacity=1024, seed=0)
+    lw = np.asarray(bank.left_width)
+    rw = np.asarray(bank.right_width)
+    assert lw.shape == (16, 1024) and rw.shape == (16, 1024)
+    # With dual_lane_prob ~0.3, some route in the bank crosses a dual edge.
+    assert bool((np.abs(lw - rw) > 2.0).any())
+
+
+def test_dual_lane_road_renders_wider(town):
+    """Rendered frames on a lane-change section show road pixels well left of
+    the driven lane (the other lane), i.e. the renderer honors asymmetric
+    widths."""
+    import jax.numpy as jnp
+
+    from carla_ppo_tpu.envs import lap_env
+    from carla_ppo_tpu.envs.types import EnvParams, SegClass
+    from carla_ppo_tpu.envs import track as track_mod
+    from carla_ppo_tpu.ops import rasterizer as R
+
+    out = _route_with_lane_change(town)
+    assert out is not None
+    pos, fwd, man, lw, rw = out
+    # Build a single-route track carrying the asymmetric widths.
+    n = len(pos)
+    cap = 1024
+    pad = lambda a, fill: np.concatenate([a, np.broadcast_to(fill, (cap - n, *a.shape[1:]))])
+    from carla_ppo_tpu.envs.types import PROP_STRIDE, TrackData, RoadOption
+    t = TrackData(
+        pos=jnp.asarray(pad(pos, pos[-1])),
+        fwd=jnp.asarray(pad(fwd, fwd[-1])),
+        maneuver=jnp.asarray(pad(man, man[-1])),
+        left_width=jnp.asarray(pad(lw, lw[-1])),
+        right_width=jnp.asarray(pad(rw, rw[-1])),
+        length=jnp.int32(n),
+        is_loop=jnp.bool_(False),
+        prop_class=jnp.full((cap // PROP_STRIDE, 2), int(SegClass.NONE), jnp.int32),
+        prop_lateral=jnp.zeros((cap // PROP_STRIDE, 2), jnp.float32),
+        prop_height=jnp.zeros((cap // PROP_STRIDE, 2), jnp.float32),
+        prop_halfwidth=jnp.zeros((cap // PROP_STRIDE, 2), jnp.float32),
+    )
+    params = EnvParams(track=t)
+    # Spawn the ego right before the widest (most asymmetric) waypoint.
+    wp = int(np.argmax(lw - rw))
+    s = lap_env.reset(params, jax.random.PRNGKey(0))
+    veh = s.vehicle.replace(
+        pos=jnp.asarray(pos[wp]),
+        yaw=jnp.float32(np.arctan2(fwd[wp, 1], fwd[wp, 0])),
+    )
+    s = s.replace(vehicle=veh, waypoint_idx=jnp.int32(wp))
+    frame = np.asarray(R.render_semantic(s, params))
+    # Bottom rows: road must extend well into the LEFT half of the image
+    # (the other lane) - compare the leftmost road column against a
+    # symmetric-width render of the same pose.
+    sym = t.replace(
+        left_width=jnp.full((cap,), 1.75, jnp.float32),
+        right_width=jnp.full((cap,), 1.75, jnp.float32),
+    )
+    frame_sym = np.asarray(R.render_semantic(s, params.replace(track=sym)))
+    road = frame == int(SegClass.ROADS)
+    road_sym = frame_sym == int(SegClass.ROADS)
+    assert road.sum() > road_sym.sum() * 1.3, (road.sum(), road_sym.sum())
