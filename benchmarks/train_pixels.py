@@ -28,6 +28,11 @@ def main() -> None:
     parser.add_argument("--vae_scale", type=float, default=1e-4)
     parser.add_argument("--model_dir", type=str, default="models/pixel_agent")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_npcs", type=int, default=0)
+    parser.add_argument("--rich_scene", type=int, default=1)
+    parser.add_argument("--warm_start_vae", type=str, default=None,
+                        help="Trained VAE model dir: initialize the encoder/"
+                             "z-heads/decoder from it (fresh runs only)")
     args = parser.parse_args()
 
     from carla_ppo_tpu.envs import track
@@ -46,7 +51,12 @@ def main() -> None:
         max_grad_norm=args.max_grad_norm,
     )
     pix = pixels.PixelConfig(vae_scale=args.vae_scale)
-    env_params = EnvParams(track=track.make_lap_track(seed=0))
+    import jax.numpy as jnp
+
+    env_params = EnvParams(
+        track=track.make_lap_track(seed=0, props=bool(args.rich_scene)),
+        num_npcs=jnp.int32(args.num_npcs),
+    )
 
     rng = jax.random.PRNGKey(args.seed)
     ts = pixels.create_pixel_train_state(model, config, rng)
@@ -57,6 +67,12 @@ def main() -> None:
     if restored is not None:
         ts = restored
         print(f"resumed at iteration {int(ts.iteration)}", flush=True)
+    elif args.warm_start_vae:
+        from carla_ppo_tpu.models import vae_common
+
+        _, vae_vars = vae_common.load_vae(args.warm_start_vae)
+        ts = pixels.warm_start_from_vae(ts, vae_vars)
+        print(f"warm-started perception from {args.warm_start_vae}", flush=True)
     writer = MetricsWriter(os.path.join(args.model_dir, "logs"))
 
     t0 = time.time()

@@ -365,3 +365,57 @@ def create_pixel_train_state(
         rng=rng,
         reward_norm=RunningMoments.create(),
     )
+
+
+def warm_start_from_vae(train_state: TrainState, vae_variables) -> TrainState:
+    """Initialize the pixel agent's perception stack from a trained seg-VAE.
+
+    Copies encoder convs, z heads, and (when present) the decoder from a
+    `models/vae.VAE` checkpoint into the PixelActorCritic params - both use
+    the same ConvEncoder/ConvDecoder modules, so the subtrees are
+    shape-identical. Policy/value trunks keep their fresh init. This is the
+    capability the reference pipeline implies (its agent always starts from
+    a pretrained VAE, vae_common.py:6-27) carried over to joint training:
+    perception starts trained, PPO shapes it from there.
+    """
+    import flax
+
+    src = vae_variables["params"]
+    params = flax.core.unfreeze(train_state.params)
+    p = params["params"]
+    mapping = {"encoder": "encoder", "z_mean": "mean", "z_logstd_sq": "logstd_square"}
+    if "decoder" in p and "decoder" in src:
+        mapping["decoder"] = "decoder"
+
+    def adapt(dst_leaf, src_leaf):
+        if dst_leaf.shape == src_leaf.shape:
+            return jnp.asarray(src_leaf)
+        # Channel adaptation: the reference-parity VAE is RGB->seg (3-channel
+        # source) while the pixel agent reads 1-channel seg frames. Sum the
+        # first conv's kernel over the input-channel axis (preserves the
+        # response to channel-replicated inputs); same trick for a decoder
+        # head with a different channel count is not attempted.
+        if (
+            dst_leaf.ndim == 4
+            and src_leaf.ndim == 4
+            and dst_leaf.shape[:2] == src_leaf.shape[:2]
+            and dst_leaf.shape[3] == src_leaf.shape[3]
+            and dst_leaf.shape[2] == 1
+        ):
+            return jnp.asarray(src_leaf).sum(axis=2, keepdims=True)
+        raise ValueError(
+            f"shape mismatch warm-starting: {dst_leaf.shape} vs {src_leaf.shape}"
+        )
+
+    for dst_key, src_key in mapping.items():
+        try:
+            p[dst_key] = jax.tree.map(adapt, p[dst_key], src[src_key])
+        except ValueError:
+            if dst_key == "decoder":
+                continue  # channel-incompatible decoder: keep fresh init
+            raise
+    return train_state.replace(
+        params=flax.core.freeze(params)
+        if isinstance(train_state.params, flax.core.FrozenDict)
+        else params
+    )

@@ -82,3 +82,38 @@ def test_pixel_no_decoder_mode(lap_params):
     ts2, _, m = pixels.pixel_train_iteration(ts, envs, lap_params, model, config)
     assert "train_loss/vae_recon" not in m
     assert bool(jnp.isfinite(m["train_loss/loss"]))
+
+
+def test_warm_start_from_vae():
+    """Encoder/z-heads/decoder transplant from a trained VAE: channel-adapted
+    first conv, exact copies elsewhere, policy trunks untouched."""
+    import numpy as np
+
+    from carla_ppo_tpu.models import vae_common
+    from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+    from carla_ppo_tpu.training import pixels, ppo
+
+    model = PixelActorCritic()
+    ts = pixels.create_pixel_train_state(model, ppo.PPOConfig(), jax.random.PRNGKey(0))
+    vae = vae_common.build_vae(64, "cnn", 3)  # RGB->seg like the shipped one
+    vv = vae.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 80, 160, 3)), jax.random.PRNGKey(8), True
+    )
+    ts2 = pixels.warm_start_from_vae(ts, vv)
+    p, v = ts2.params["params"], vv["params"]
+    np.testing.assert_array_equal(
+        np.asarray(p["encoder"]["conv1"]["kernel"]),
+        np.asarray(v["encoder"]["conv1"]["kernel"]).sum(2, keepdims=True),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p["encoder"]["conv3"]["kernel"]),
+        np.asarray(v["encoder"]["conv3"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p["z_mean"]["kernel"]), np.asarray(v["mean"]["kernel"])
+    )
+    # Policy trunk untouched by the transplant.
+    np.testing.assert_array_equal(
+        np.asarray(p["pi"]["dense_0"]["kernel"]),
+        np.asarray(ts.params["params"]["pi"]["dense_0"]["kernel"]),
+    )
