@@ -4,6 +4,10 @@ Measures the FULL fused pipeline (rollout + GAE + 3x4 minibatch Adam updates,
 vector observations) on whatever devices are attached, and prints ONE JSON
 line. Baseline: the reference runs one CARLA env at 30 FPS with batch-of-1
 sess.run round-trips => ~30 env-steps/sec (BASELINE.md "Simulation rate").
+
+The line's `extra` dict additionally tracks the perception pipelines so the
+headline can't silently regress on them: frozen-VAE latent training steps/s
+and the semantic-camera render time for 1024 frames.
 """
 
 from __future__ import annotations
@@ -48,8 +52,44 @@ def main() -> None:
     t0 = time.perf_counter()
     train_state, env_states = run(n_iters, train_state, env_states)
     dt = time.perf_counter() - t0
-
     steps_per_sec = NUM_ENVS * HORIZON * n_iters / dt
+
+    # --- secondary tracked metrics: latent training + render cost ---
+    from carla_ppo_tpu.models import vae_common
+    from carla_ppo_tpu.ops import rasterizer as R
+
+    vae = vae_common.build_vae(64, "cnn", 1, source_shape=(80, 160, 1))
+    import jax.numpy as jnp
+
+    vae_vars = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 160, 1)), jax.random.PRNGKey(1), True
+    )
+    latent = ppo.LatentObs(vae_model=vae, source="seg")
+    ts_l = ppo.create_train_state(model, config, latent.obs_dim, rng)
+    env_l = ppo.init_env_batch(env_params, NUM_ENVS, rng)
+
+    def run_latent(n, ts, envs):
+        for _ in range(n):
+            ts, envs, _ = ppo.train_iteration(
+                ts, envs, env_params, model, config,
+                latent_obs=latent, vae_variables=vae_vars,
+            )
+        jax.block_until_ready(ts.params)
+        return ts, envs
+
+    ts_l, env_l = run_latent(1, ts_l, env_l)  # compile
+    t0 = time.perf_counter()
+    ts_l, env_l = run_latent(3, ts_l, env_l)
+    latent_sps = NUM_ENVS * HORIZON * 3 / (time.perf_counter() - t0)
+
+    frames = R.render_batch(env_l, env_params)
+    jax.block_until_ready(frames)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        frames = R.render_batch(env_l, env_params)
+    jax.block_until_ready(frames)
+    render_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     print(
         json.dumps(
             {
@@ -57,6 +97,10 @@ def main() -> None:
                 "value": round(steps_per_sec, 1),
                 "unit": "env_steps/sec",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
+                "extra": {
+                    "latent_train_steps_per_sec": round(latent_sps, 1),
+                    "seg_render_ms_1024_frames": round(render_ms, 2),
+                },
             }
         )
     )

@@ -195,7 +195,7 @@ class Trainer:
         hparams = {**dataclasses.asdict(settings), **dataclasses.asdict(config)}
         self.writer.write_hparams(hparams)
 
-        self.best_eval_reward = -float("inf")
+        self.best_eval_score = (-float("inf"), -float("inf"))
         self._eval_rng = jax.random.PRNGKey(settings.seed + 1)
         self._nan_events = 0
 
@@ -324,10 +324,19 @@ class Trainer:
                 if self.settings.record_eval:
                     video = os.path.join(self.video_dir, f"iteration{it}.avi")
                     self.record_eval_video(video)
-                if eval_reward > self.best_eval_reward:
-                    self.best_eval_reward = eval_reward
+                # Best-checkpoint criterion: task completion first, reward as
+                # the tie-breaker. The reference keys on reward alone
+                # (train.py:130-132), but completing the task ENDS the
+                # episode, capping its reward below an almost-done episode
+                # that farms per-step reward for the whole eval budget - a
+                # reward-only rule would keep the non-finisher.
+                eval_score = (
+                    round(eval_metrics.get("eval/laps_completed", 0.0), 2),
+                    eval_reward,
+                )
+                if eval_score > self.best_eval_score:
+                    self.best_eval_score = eval_score
                     self.checkpointer.save(it, self.train_state)  # best-only
-                    # (reference: train.py:130-132)
 
             if self.mesh is not None:
                 new_state, new_envs, m = self._dp_iteration(

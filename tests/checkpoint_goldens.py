@@ -1,0 +1,137 @@
+"""Golden outputs for the shipped pretrained checkpoints.
+
+Guards cross-round refactors from silently breaking checkpoint loading
+(reference analog: tf.train.Saver restore of models/pretrained_agent,
+ppo.py:207-216 — the reference ships pretrained artifacts and relies on them
+restoring; we additionally pin their outputs).
+
+Run `python -m tests.checkpoint_goldens` to regenerate
+tests/golden/checkpoint_goldens.json after DELIBERATELY refreshing an
+artifact (retraining the shipped agent/VAE). A failing
+tests/test_checkpoint_compat.py means either (a) a refactor changed the
+train-state pytree structure or model math — fix the code, or (b) you
+refreshed an artifact — rerun this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "checkpoint_goldens.json")
+
+LAP_AGENT_DIR = "models/pretrained_agent"
+PIXEL_AGENT_DIR = "models/pixel_agent_pretrained"
+VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
+
+
+def synthetic_frame(shape) -> jnp.ndarray:
+    """Deterministic class-ramp frame in [0, 1]."""
+    n = int(np.prod(shape))
+    return (jnp.arange(n, dtype=jnp.float32).reshape(1, *shape) % 13.0) / 12.0
+
+
+def synthetic_vector_obs(dim: int) -> jnp.ndarray:
+    return jnp.linspace(-1.0, 1.0, dim, dtype=jnp.float32)[None, :]
+
+
+MEASUREMENTS = (0.1, 0.5, 5.0)  # steer, throttle, speed
+
+
+def compute_lap_agent_outputs(repo_root: str = "."):
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+    from carla_ppo_tpu.models.policy import ActorCritic
+    from carla_ppo_tpu.training import ppo
+    from carla_ppo_tpu.utils.checkpoint import Checkpointer
+
+    model = ActorCritic()
+    config = ppo.PPOConfig()
+    template = ppo.create_train_state(
+        model, config, vector_obs_dim(), jax.random.PRNGKey(0)
+    )
+    ck = Checkpointer(os.path.join(repo_root, LAP_AGENT_DIR, "checkpoints"))
+    restored = ck.restore_latest(template)
+    ck.close()
+    if restored is None:
+        raise FileNotFoundError(LAP_AGENT_DIR)
+    obs = synthetic_vector_obs(vector_obs_dim())
+    mean, std, value = model.apply(restored.params, obs)
+    return {
+        "step": int(ck.latest_step() or -1),
+        "mean": np.asarray(mean[0]).tolist(),
+        "std": np.asarray(std).tolist(),
+        "value": float(value[0]),
+    }
+
+
+def compute_pixel_agent_outputs(repo_root: str = "."):
+    from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+    from carla_ppo_tpu.training import pixels, ppo
+    from carla_ppo_tpu.utils.checkpoint import Checkpointer
+
+    model = PixelActorCritic()
+    config = ppo.PPOConfig()
+    template = pixels.create_pixel_train_state(model, config, jax.random.PRNGKey(0))
+    ck = Checkpointer(os.path.join(repo_root, PIXEL_AGENT_DIR, "checkpoints"))
+    restored = ck.restore_latest(template)
+    ck.close()
+    if restored is None:
+        raise FileNotFoundError(PIXEL_AGENT_DIR)
+    frame = synthetic_frame(model.frame_shape)
+    meas = jnp.asarray([MEASUREMENTS], jnp.float32)
+    mean, std, value = model.apply(
+        restored.params, frame, meas, method=model.policy_value
+    )
+    return {
+        "step": int(ck.latest_step() or -1),
+        "mean": np.asarray(mean[0]).tolist(),
+        "std": np.asarray(std).tolist(),
+        "value": float(value[0]),
+    }
+
+
+def compute_vae_outputs(repo_root: str = "."):
+    from carla_ppo_tpu.models import vae_common
+
+    model, variables = vae_common.load_vae(os.path.join(repo_root, VAE_DIR))
+    frame = synthetic_frame(model.source_shape)
+    z = model.apply(variables, frame, method=model.encode)
+    return {
+        "z_prefix": np.asarray(z[0, :8]).tolist(),
+        "z_sum": float(z.sum()),
+    }
+
+
+COMPUTE_FNS = {
+    "lap_agent": compute_lap_agent_outputs,
+    "pixel_agent": compute_pixel_agent_outputs,
+    "seg_vae": compute_vae_outputs,
+}
+
+
+def main() -> None:
+    # Goldens MUST be generated on the CPU backend: the compat test runs on
+    # CPU and TPU matmuls differ at ~1e-3.
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        "regenerate goldens on CPU (a non-CPU backend was already initialized)"
+    )
+    goldens = {}
+    for name, fn in COMPUTE_FNS.items():
+        try:
+            goldens[name] = fn()
+            print(f"{name}: ok")
+        except FileNotFoundError as e:
+            print(f"{name}: MISSING ({e}) — not written")
+    os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump(goldens, f, indent=2)
+    print(f"wrote {GOLDEN_PATH}")
+
+
+if __name__ == "__main__":
+    main()
