@@ -43,6 +43,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batches", type=str, default="1024,4096,8192")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -53,7 +55,7 @@ def main():
     from carla_ppo_tpu.training import ppo
 
     env_params = EnvParams(track=track.make_lap_track(seed=0))
-    model = ActorCritic()
+    model = ActorCritic(dtype=jnp.dtype(args.dtype))
     T = 128
     D = vector_obs_dim()
 

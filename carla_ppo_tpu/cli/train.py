@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--normalize_rewards", type=bool_flag,
                         default=False,
                         help="VecNormalize-style reward scaling (config 3)")
+    parser.add_argument("--policy_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="Compute dtype of the policy/value MLP matmuls "
+                             "(params and the distribution math stay float32; "
+                             "bfloat16 rides the MXU ~1.5x faster at large "
+                             "env batches)")
 
     # VAE parameters (reference: train.py:238-242).
     parser.add_argument("--vae_model", type=str, default=None,
@@ -142,6 +148,7 @@ def main(argv=None) -> None:
         vae_model_type=params["vae_model_type"],
         vae_z_dim=params["vae_z_dim"],
         vae_source=params["vae_source"],
+        policy_dtype=params["policy_dtype"],
     )
 
     trainer = Trainer(settings, config, restart=restart)

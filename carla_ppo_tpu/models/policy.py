@@ -13,8 +13,11 @@ Architecture parity with reference: ppo.py PolicyGraph (ppo.py:11-66):
 - value: a separate MLP(500, 300) ReLU trunk + Dense(1) (ppo.py:51-55).
 
 The matmuls are [B, 500] x [500, 300]-shaped; at B >= 1024 they tile cleanly
-onto the MXU. Parameters and activations default to float32 (the model is
-tiny; bf16 would save nothing measurable here), but `dtype` is exposed.
+onto the MXU. Parameters always stay float32 and the distribution math
+(log-prob, entropy, tanh box rescale) is computed in float32; `dtype`
+selects the trunk matmul compute dtype. At 8192-env minibatches the f32
+matmuls are roofline-bound and `dtype=bfloat16` cuts the PPO update ~1.5x
+(benchmarks/profile_update.py --dtype bfloat16).
 """
 
 from __future__ import annotations

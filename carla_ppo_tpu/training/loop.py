@@ -66,6 +66,12 @@ class TrainerSettings:
     vae_model_type: Optional[str] = None
     vae_z_dim: Optional[int] = None
     vae_source: str = "seg"
+    # Compute dtype for the policy/value MLP matmuls. Params and the
+    # Gaussian log-prob/entropy math stay float32 (ActorCritic casts its
+    # outputs back), so checkpoints are dtype-invariant; bfloat16 keeps the
+    # big-batch update matmuls on the MXU's fast path (~1.5x at 8192 envs,
+    # benchmarks/profile_update.py --dtype bfloat16).
+    policy_dtype: str = "float32"
 
 
 class Trainer:
@@ -136,7 +142,10 @@ class Trainer:
         else:
             obs_dim = vector_obs_dim()
 
-        self.model = ActorCritic(initial_std=config.initial_std)
+        self.model = ActorCritic(
+            initial_std=config.initial_std,
+            dtype=jnp.dtype(settings.policy_dtype),
+        )
         rng = jax.random.PRNGKey(settings.seed)
         self.train_state = ppo.create_train_state(self.model, config, obs_dim, rng)
         self.env_states = ppo.init_env_batch(

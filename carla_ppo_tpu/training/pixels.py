@@ -260,21 +260,41 @@ def pixel_train_iteration_core(
     T, B = traj.rewards.shape
     n = T * B
     H, W = traj.frames.shape[-2:]
-    data = {
-        "frames": traj.frames.reshape(n, H, W),
-        "measurements": traj.measurements.reshape(n, -1),
-        "actions": traj.actions.reshape(n, -1),
-        "log_probs": traj.log_probs.reshape(n),
-        "returns": returns.reshape(n),
-        "advantages": advantages.reshape(n),
-    }
+    # Same env-axis minibatching as ppo.train_iteration_core (see
+    # PPOConfig.minibatch_axis): permute envs, gather contiguous horizons.
+    env_axis = config.minibatch_axis == "env" and B % config.num_minibatches == 0
+    if env_axis:
+        data = {
+            "frames": traj.frames.swapaxes(0, 1),
+            "measurements": traj.measurements.swapaxes(0, 1),
+            "actions": traj.actions.swapaxes(0, 1),
+            "log_probs": traj.log_probs.swapaxes(0, 1),
+            "returns": returns.swapaxes(0, 1),
+            "advantages": advantages.swapaxes(0, 1),
+        }
+        perm_size = B
+    else:
+        data = {
+            "frames": traj.frames.reshape(n, H, W),
+            "measurements": traj.measurements.reshape(n, -1),
+            "actions": traj.actions.reshape(n, -1),
+            "log_probs": traj.log_probs.reshape(n),
+            "returns": returns.reshape(n),
+            "advantages": advantages.reshape(n),
+        }
+        perm_size = n
 
     tx = make_pixel_optimizer(config, pix)
 
     def minibatch_step(carry, xs):
         params, opt_state = carry
         idx, key = xs
-        batch = jax.tree.map(lambda x: x[idx], data)
+        if env_axis:
+            batch = jax.tree.map(
+                lambda x: x[idx].reshape((-1,) + x.shape[2:]), data
+            )
+        else:
+            batch = jax.tree.map(lambda x: x[idx], data)
         (_, metrics), grads = jax.value_and_grad(pixel_loss, has_aux=True)(
             params, model, batch, config, pix, key
         )
@@ -287,7 +307,7 @@ def pixel_train_iteration_core(
 
     def epoch_step(carry, keys):
         perm_k, mb_keys = keys
-        perm = jax.random.permutation(perm_k, n)
+        perm = jax.random.permutation(perm_k, perm_size)
         batches = perm.reshape(config.num_minibatches, -1)
         return jax.lax.scan(minibatch_step, carry, (batches, mb_keys))
 

@@ -70,6 +70,15 @@ class PPOConfig:
     env_kind: str = "lap"
     max_grad_norm: float = 0.0  # 0 disables clipping (reference has none)
     use_associative_gae: bool = False
+    # Minibatch shuffling axis. "env" (default) permutes the env axis and
+    # keeps each env's horizon contiguous: the gather moves [horizon, D]
+    # blocks instead of n scattered rows, which is 2.7x faster at 8192 envs
+    # on a v5e (357 -> 134 ms/update; benchmarks/profile_update.py). The
+    # reference flat-shuffles, but its buffer is ONE env's 128 steps
+    # (train.py:193-207) - with >=256 envs per minibatch the env-axis
+    # shuffle is at least as decorrelated as the reference's. "sample"
+    # reproduces the flat per-sample permutation.
+    minibatch_axis: str = "env"
 
     @property
     def updates_per_iteration(self) -> int:
@@ -388,19 +397,39 @@ def train_iteration_core(
 
     T, B = traj.rewards.shape
     n = T * B
-    data = {
-        "obs": traj.obs.reshape(n, -1),
-        "actions": traj.actions.reshape(n, -1),
-        "log_probs": traj.log_probs.reshape(n),
-        "returns": returns.reshape(n),
-        "advantages": advantages.reshape(n),
-    }
+    # Env-major layout gathers contiguous [T, ...] blocks per env; flat
+    # layout gathers n scattered rows (see PPOConfig.minibatch_axis).
+    env_axis = config.minibatch_axis == "env" and B % config.num_minibatches == 0
+    if env_axis:
+        data = {
+            "obs": traj.obs.swapaxes(0, 1),
+            "actions": traj.actions.swapaxes(0, 1),
+            "log_probs": traj.log_probs.swapaxes(0, 1),
+            "returns": returns.swapaxes(0, 1),
+            "advantages": advantages.swapaxes(0, 1),
+        }
+        perm_size = B
+    else:
+        data = {
+            "obs": traj.obs.reshape(n, -1),
+            "actions": traj.actions.reshape(n, -1),
+            "log_probs": traj.log_probs.reshape(n),
+            "returns": returns.reshape(n),
+            "advantages": advantages.reshape(n),
+        }
+        perm_size = n
 
     tx = make_optimizer(config)
 
     def minibatch_step(carry, idx):
         params, opt_state = carry
-        batch = jax.tree.map(lambda x: x[idx], data)
+        if env_axis:
+            # [mb_envs, T, ...] -> flat [mb_envs * T, ...]
+            batch = jax.tree.map(
+                lambda x: x[idx].reshape((-1,) + x.shape[2:]), data
+            )
+        else:
+            batch = jax.tree.map(lambda x: x[idx], data)
         (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
             params, model, batch, config
         )
@@ -414,7 +443,7 @@ def train_iteration_core(
         return (params, opt_state), metrics
 
     def epoch_step(carry, key):
-        perm = jax.random.permutation(key, n)
+        perm = jax.random.permutation(key, perm_size)
         batches = perm.reshape(config.num_minibatches, -1)
         return jax.lax.scan(minibatch_step, carry, batches)
 
