@@ -390,13 +390,22 @@ def keyboard_control_loop(env) -> None:
     """Arrow-key / WASD driving, the reference's interactive smoke test
     (reference: carla_lap_env.py:484-509)."""
     import pygame
-    from pygame.locals import K_DOWN, K_ESCAPE, K_LEFT, K_RIGHT, K_UP, K_a, K_d, K_s, K_w
+    from pygame.locals import (
+        K_DOWN, K_ESCAPE, K_LEFT, K_RIGHT, K_UP, K_a, K_d, K_h, K_s, K_w,
+        KEYDOWN,
+    )
 
     action = np.zeros(2, np.float32)
     while True:
         env.reset(is_training=True)
         while True:
-            pygame.event.pump()
+            for event in pygame.event.get():
+                if (
+                    event.type == KEYDOWN
+                    and event.key == K_h
+                    and env.hud is not None
+                ):
+                    env.hud.help.toggle()
             keys = pygame.key.get_pressed()
             if keys[K_ESCAPE]:
                 env.close()
