@@ -169,76 +169,91 @@ def ground_points(
     cam: CameraConfig,
     row_lo: int = 0,
     row_hi: int | None = None,
-) -> Tuple[Array, Array, Array]:
+) -> Tuple[Array, Array, Array, Array]:
     """Cast pixel rays (optionally of a row range) to the ground plane.
 
-    Returns (points [P, 2] world xy, sky_mask [P], depth [P] meters).
+    Returns (px [P], py [P] world coords, sky_mask [P], depth [P] meters).
+    Coordinates come back as separate x/y arrays (structure-of-arrays): a
+    [P, 2] layout puts 2 on the TPU lane dimension and pads 126/128 lanes;
+    two [P] arrays keep every elementwise op fully vectorized.
     """
     lat, vert = _pixel_rays(cam, row_lo, row_hi)
-    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
-    right = jnp.stack([jnp.sin(yaw), -jnp.cos(yaw)])
-    cam_xy = pos + fwd * cam.mount_forward
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)  # fwd = (cy, sy); right = (sy, -cy)
+    cam_x = pos[0] + cy * cam.mount_forward
+    cam_y = pos[1] + sy * cam.mount_forward
 
     sky = vert >= -1e-6
     t = cam.mount_height / jnp.where(sky, 1.0, -vert)  # ray parameter
-    d_xy = fwd[None, :] + right[None, :] * lat[:, None]  # [P, 2]
-    pts = cam_xy[None, :] + t[:, None] * d_xy
-    return pts, sky, t
+    px = cam_x + t * (cy + sy * lat)
+    py = cam_y + t * (sy - cy * lat)
+    return px, py, sky, t
 
 
 def frenet_coords(
-    pts: Array,
+    px: Array,
+    py: Array,
     wp_pos: Array,
     wp_fwd: Array,
     wp_index0: Array,
     wp_extras: Array | None = None,
 ) -> Tuple[Array, Array, Array] | Tuple[Array, Array, Array, Array]:
-    """Road-local coordinates of world points via matmul nearest-waypoint.
+    """Road-local coordinates of world points via nearest-waypoint search.
 
     Args:
-      pts: [P, 2] world points.
+      px / py: [P] world point coordinates (structure-of-arrays; see
+        ground_points for why).
       wp_pos / wp_fwd: [K, 2] waypoint window (positions, unit forwards).
       wp_index0: [] global index of window slot 0 (for the s coordinate).
       wp_extras: optional [K, E] per-waypoint payload (e.g. road widths) to
         fetch alongside pos/fwd - rides the same one-hot matmul.
 
     Returns (signed_lateral [P], s [P] meters along route, nearest_dist [P])
-    plus (extras [P, E]) when wp_extras is given.
+    plus (extras [E, P] - component-major, see the transposed fetch below)
+    when wp_extras is given.
     """
     # Squared distances [P, K]: recenter to the window's first waypoint, then
-    # expand |p|^2 - 2 p.w + |w|^2 so the cross term rides the MXU. The
-    # recentering is what makes the expansion safe in f32: at world
-    # coordinates of a few hundred meters it cancels catastrophically and
-    # boundary pixels pick the wrong waypoint; with local coordinates
-    # (|p| ~ 100 m within the window) the error is < 1e-3 m^2.
-    origin = wp_pos[0]
-    p_loc = pts - origin
-    w_loc = wp_pos - origin
-    cross = p_loc @ w_loc.T  # [P, K]  <- MXU
+    # expand |p|^2 - 2 p.w + |w|^2. The recentering is what makes the
+    # expansion safe in f32: at world coordinates of a few hundred meters it
+    # cancels catastrophically and boundary pixels pick the wrong waypoint;
+    # with local coordinates (|p| ~ 100 m within the window) the error is
+    # < 1e-3 m^2. The [P, K] pipeline (cross term, d2, argmin, one-hot)
+    # fuses into a single VMEM pass - nothing [P, K]-shaped reaches HBM.
+    ox, oy = wp_pos[0, 0], wp_pos[0, 1]
+    plx, ply = px - ox, py - oy  # [P]
+    wlx, wly = wp_pos[:, 0] - ox, wp_pos[:, 1] - oy  # [K]
+    cross = plx[:, None] * wlx[None, :] + ply[:, None] * wly[None, :]  # [P,K]
     d2 = (
-        jnp.sum(p_loc * p_loc, axis=1, keepdims=True)
+        (plx * plx + ply * ply)[:, None]
         - 2.0 * cross
-        + jnp.sum(w_loc * w_loc, axis=1)[None, :]
+        + (wlx * wlx + wly * wly)[None, :]
     )
     nearest = jnp.argmin(d2, axis=1)  # [P]
 
-    # One-hot matmul gather of the nearest waypoint's data.  [P,K]x[K,4] -> MXU
+    # One-hot matmul gather of the nearest waypoint's data, TRANSPOSED:
+    # [4+E, K] x [K, P] -> [4+E, P]. The straight [P,K]x[K,4+E] form puts
+    # the 4+E payload columns on the MXU lane dimension (padded to 128,
+    # ~20x wasted FLOPs - measured ~3 ms of the ground pass); transposed,
+    # P rides the lanes and the pad is only 4+E -> 8 sublanes.
     K = wp_pos.shape[0]
-    onehot = jax.nn.one_hot(nearest, K, dtype=pts.dtype)  # [P, K]
+    onehot_t = (
+        jax.lax.broadcasted_iota(jnp.int32, (K, nearest.shape[0]), 0)
+        == nearest[None, :]
+    ).astype(px.dtype)  # [K, P]
     cols = [wp_pos, wp_fwd] + ([wp_extras] if wp_extras is not None else [])
     table = jnp.concatenate(cols, axis=1)  # [K, 4 + E]
-    near = onehot @ table  # [P, 4 + E]
-    n_pos, n_fwd = near[:, :2], near[:, 2:4]
+    near = table.T @ onehot_t  # [4 + E, P]
+    n_px, n_py = near[0], near[1]
+    n_fx, n_fy = near[2], near[3]
 
-    rel = pts - n_pos
-    lateral = n_fwd[:, 0] * rel[:, 1] - n_fwd[:, 1] * rel[:, 0]  # cross z
-    along = jnp.sum(rel * n_fwd, axis=1)
-    s = (wp_index0 + nearest).astype(pts.dtype) + along
+    rel_x, rel_y = px - n_px, py - n_py
+    lateral = n_fx * rel_y - n_fy * rel_x  # cross z
+    along = rel_x * n_fx + rel_y * n_fy
+    s = (wp_index0 + nearest).astype(px.dtype) + along
     # |p|^2 - 2p.w + |w|^2 can dip slightly negative in f32; clamp before sqrt.
     d2_min = jnp.maximum(jnp.min(d2, axis=1), 0.0)
     nearest_dist = jnp.sqrt(d2_min)
     if wp_extras is not None:
-        return lateral, s, nearest_dist, near[:, 4:]
+        return lateral, s, nearest_dist, near[4:]
     return lateral, s, nearest_dist
 
 
@@ -304,6 +319,29 @@ def _window_indices(idx0: Array, cam: CameraConfig) -> Array:
     return idx0 - cam.window_behind + jnp.arange(cam.window, dtype=jnp.int32)
 
 
+def _window_table(track: TrackData) -> Array:
+    """Combined per-waypoint table, [capacity, 6] f32: pos.xy, fwd.xy,
+    left_width, right_width.
+
+    The window fetch is ONE row gather from this table instead of four
+    separate gathers of the individual track arrays - TPU gathers pay
+    roughly per row, so fusing the payload into wider rows halves the
+    window-fetch cost (measured: 4.3 -> 1.7 ms for 1024 x 128-waypoint
+    windows; a vmapped dynamic_slice is even slower because batching turns
+    it back into a gather). Env-independent: XLA hoists the build out of
+    the env vmap for a shared track.
+    """
+    return jnp.concatenate(
+        [
+            track.pos,
+            track.fwd,
+            track.left_width[:, None],
+            track.right_width[:, None],
+        ],
+        axis=1,
+    )
+
+
 def _ground_pass(
     state: EnvState,
     params: EnvParams,
@@ -319,13 +357,11 @@ def _ground_pass(
     """
     track = params.track
     idxs = _window_indices(state.waypoint_idx, cam)
-    wp_pos = wp_gather(track.pos, idxs, track.length, track.is_loop)
-    wp_fwd = wp_gather(track.fwd, idxs, track.length, track.is_loop)
+    win = wp_gather(_window_table(track), idxs, track.length, track.is_loop)
+    wp_pos, wp_fwd = win[:, 0:2], win[:, 2:4]
     # Per-waypoint widths ride the one-hot payload fetch so asymmetric
     # (dual-lane) roads render correctly per pixel.
-    wp_lw = wp_gather(track.left_width, idxs, track.length, track.is_loop)
-    wp_rw = wp_gather(track.right_width, idxs, track.length, track.is_loop)
-    wp_widths = jnp.stack([wp_lw, wp_rw], axis=1)  # [K, 2]
+    wp_widths = win[:, 4:6]  # [K, 2]
     idx0 = (state.waypoint_idx - cam.window_behind).astype(jnp.float32)
 
     W = cam.width
@@ -337,16 +373,16 @@ def _ground_pass(
         depth_blocks.append(jnp.full((P_sky,), jnp.inf, jnp.float32))
         sky_blocks.append(jnp.ones((P_sky,), bool))
     for row_lo, row_hi, K in stripes:
-        pts, sky, t = ground_points(
+        px, py, sky, t = ground_points(
             state.vehicle.pos, state.vehicle.yaw, cam, row_lo, row_hi
         )
         lateral, s, nearest_dist, widths = frenet_coords(
-            pts, wp_pos[:K], wp_fwd[:K], idx0, wp_extras=wp_widths[:K]
+            px, py, wp_pos[:K], wp_fwd[:K], idx0, wp_extras=wp_widths[:K]
         )
         cls_blocks.append(
             classify(
-                lateral, s, nearest_dist, widths[:, 0], sky, style,
-                right_width=widths[:, 1],
+                lateral, s, nearest_dist, widths[0], sky, style,
+                right_width=widths[1],
             )
         )
         depth_blocks.append(jnp.where(sky, jnp.inf, t))
@@ -370,22 +406,34 @@ def _visible_props(
     S = cam.window // PROP_STRIDE
     n_slots_live = jnp.maximum(track.length // PROP_STRIDE, 1)
     slot0 = (state.waypoint_idx - cam.window_behind) // PROP_STRIDE
+
+    # Combined per-slot table (anchor pos/fwd via a static-stride slice, then
+    # the four prop fields): the visible slot range is ONE row gather instead
+    # of six (same rows-are-the-cost reasoning as _window_table).
+    n_slots = track.prop_class.shape[0]
+    comb = jnp.concatenate(
+        [
+            track.pos[:: PROP_STRIDE][:n_slots],
+            track.fwd[:: PROP_STRIDE][:n_slots],
+            track.prop_class.astype(jnp.float32),
+            track.prop_lateral,
+            track.prop_height,
+            track.prop_halfwidth,
+        ],
+        axis=1,
+    )  # [n_slots, 12]
     slots = slot0 + jnp.arange(S, dtype=jnp.int32)
     slot_idx = jnp.where(
         track.is_loop,
         jnp.mod(slots, n_slots_live),
         jnp.clip(slots, 0, n_slots_live - 1),
     )
-    wp_i = slot_idx * PROP_STRIDE
-    wpos = wp_gather(track.pos, wp_i, track.length, track.is_loop)  # [S, 2]
-    wfwd = wp_gather(track.fwd, wp_i, track.length, track.is_loop)
+    win = jnp.take(comb, slot_idx, axis=0)
+    wpos, wfwd = win[:, 0:2], win[:, 2:4]
+    pcls = win[:, 4:6].astype(jnp.int32)  # class ids are small ints: exact
+    plat, phgt, phwd = win[:, 6:8], win[:, 8:10], win[:, 10:12]
     # Left normal: cross(fwd, normal) = +1 (matches frenet lateral sign).
     normal = jnp.stack([-wfwd[:, 1], wfwd[:, 0]], axis=-1)  # [S, 2]
-
-    pcls = jnp.take(track.prop_class, slot_idx, axis=0)  # [S, 2]
-    plat = jnp.take(track.prop_lateral, slot_idx, axis=0)
-    phgt = jnp.take(track.prop_height, slot_idx, axis=0)
-    phwd = jnp.take(track.prop_halfwidth, slot_idx, axis=0)
     ppos = wpos[:, None, :] + normal[:, None, :] * plat[..., None]  # [S, 2, 2]
 
     b_pos = ppos.reshape(-1, 2)
@@ -465,10 +513,18 @@ def billboard_pass(
         & (v[:, None] <= v_bot[None, :])
     )  # [P, N]
     d = jnp.where(inside, f_safe[None, :], jnp.inf)
-    best_d = jnp.min(d, axis=1)  # [P]
-    best = jnp.argmin(d, axis=1)
-    onehot = jax.nn.one_hot(best, b_cls.shape[0], dtype=jnp.float32)
-    best_cls = (onehot @ b_cls.astype(jnp.float32)).astype(jnp.int32)
+    # Nearest candidate + its class in ONE reduction: stash the class id in
+    # the low 4 mantissa bits of the depth (positive-f32 bit patterns order
+    # like the floats, so an int32 min is a depth min; the 4-bit steal
+    # perturbs depth by < 2^-19 relative). Replaces argmin + one-hot +
+    # matvec - three more [P, N] passes - with a single fused min.
+    dbits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    key = jnp.bitwise_or(jnp.bitwise_and(dbits, ~15), b_cls[None, :])
+    best = jnp.min(key, axis=1)  # [P]
+    best_cls = jnp.bitwise_and(best, 15)
+    best_d = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(best, ~15), jnp.float32
+    )
 
     depth_flat = depth.reshape(-1)
     visible = best_d < depth_flat

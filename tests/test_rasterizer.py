@@ -87,8 +87,10 @@ def test_turn_breaks_symmetry(straight_params):
 def test_ground_points_geometry():
     cam = R.CameraConfig()
     pos = jnp.array([0.0, 0.0])
-    pts, sky, t = R.ground_points(pos, jnp.float32(0.0), cam)
-    pts = np.asarray(pts).reshape(80, 160, 2)
+    px, py, sky, t = R.ground_points(pos, jnp.float32(0.0), cam)
+    pts = np.stack([np.asarray(px), np.asarray(py)], axis=-1).reshape(
+        80, 160, 2
+    )
     sky = np.asarray(sky).reshape(80, 160)
     # Bottom-center pixel: directly ahead, ~camera_fwd + h*f/(v-cy) meters.
     v = 79.5
