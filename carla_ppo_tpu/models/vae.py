@@ -70,13 +70,14 @@ LOSS_FNS = {"bce": bce_loss, "bce_v2": bce_loss_v2, "mse": mse_loss}
 
 class ConvEncoder(nn.Module):
     features: Sequence[int] = (32, 64, 128, 256)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for i, f in enumerate(self.features):
             x = nn.Conv(
                 f, kernel_size=(4, 4), strides=(2, 2), padding="VALID",
-                name=f"conv{i + 1}",
+                name=f"conv{i + 1}", dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         self.sow("intermediates", "encoded_shape", jnp.asarray(x.shape[1:]))
@@ -142,6 +143,11 @@ class VAE(nn.Module):
     model_type: str = "cnn"  # "cnn" | "mlp"
     encoder_sizes: Tuple[int, ...] = (512, 256)
     decoder_sizes: Tuple[int, ...] = (256, 512)
+    # Compute dtype of the conv encoder matmuls (params and the latent heads
+    # stay float32, so checkpoints are dtype-invariant). bfloat16 speeds the
+    # frozen-encoder rollout path ~1.5x on the MXU; keep float32 when bit
+    # stability of z against existing goldens matters.
+    dtype: jnp.dtype = jnp.float32
 
     @property
     def out_shape(self) -> Tuple[int, int, int]:
@@ -156,7 +162,7 @@ class VAE(nn.Module):
 
     def setup(self):
         if self.model_type == "cnn":
-            self.encoder = ConvEncoder()
+            self.encoder = ConvEncoder(dtype=self.dtype)
             self.decoder = ConvDecoder(
                 encoded_shape=self._encoded_conv_shape(),
                 out_channels=self.out_shape[-1],
@@ -185,7 +191,7 @@ class VAE(nn.Module):
         return logits, mean, logstd_sq
 
     def encode_params(self, x: Array) -> Tuple[Array, Array]:
-        h = self.encoder(x)
+        h = self.encoder(x).astype(jnp.float32)
         return self.mean_head(h), self.logstd_head(h)
 
     def encode(self, x: Array) -> Array:

@@ -54,12 +54,14 @@ def parse_model_dir(model_dir: str) -> Tuple[int, str, int]:
 def build_vae(
     z_dim: int, model_type: str, target_depth: int,
     source_shape: Tuple[int, int, int] = (80, 160, 3),
+    dtype: jnp.dtype = jnp.float32,
 ) -> VAE:
     return VAE(
         source_shape=source_shape,
         target_shape=(source_shape[0], source_shape[1], target_depth),
         z_dim=z_dim,
         model_type=model_type,
+        dtype=dtype,
     )
 
 
@@ -67,13 +69,15 @@ def load_vae(
     model_dir: str,
     z_dim: Optional[int] = None,
     model_type: Optional[str] = None,
+    dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[VAE, Any]:
     """Build + restore a pretrained VAE; raises if nothing restores
-    (reference: vae_common.py:6-27)."""
+    (reference: vae_common.py:6-27). `dtype` sets the encoder compute dtype
+    only (checkpoints are float32 either way)."""
     p_z, p_type, p_depth = parse_model_dir(model_dir)
     z_dim = z_dim or p_z
     model_type = model_type or p_type
-    model = build_vae(z_dim, model_type, p_depth)
+    model = build_vae(z_dim, model_type, p_depth, dtype=dtype)
 
     dummy = jnp.zeros((1, *model.source_shape), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), dummy, jax.random.PRNGKey(1), True)

@@ -506,21 +506,23 @@ def billboard_pass(
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1) + 0.5
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1) + 0.5
 
+    # Candidate-major [N, P] layout: P rides the TPU lane dimension at full
+    # width (the [P, N] form puts N=72 on the lanes, padding 56/128).
     inside = (
-        valid[None, :]
-        & (jnp.abs(u[:, None] - u_c[None, :]) <= hw_pix[None, :])
-        & (v[:, None] >= v_top[None, :])
-        & (v[:, None] <= v_bot[None, :])
-    )  # [P, N]
-    d = jnp.where(inside, f_safe[None, :], jnp.inf)
+        valid[:, None]
+        & (jnp.abs(u[None, :] - u_c[:, None]) <= hw_pix[:, None])
+        & (v[None, :] >= v_top[:, None])
+        & (v[None, :] <= v_bot[:, None])
+    )  # [N, P]
+    d = jnp.where(inside, f_safe[:, None], jnp.inf)
     # Nearest candidate + its class in ONE reduction: stash the class id in
     # the low 4 mantissa bits of the depth (positive-f32 bit patterns order
     # like the floats, so an int32 min is a depth min; the 4-bit steal
     # perturbs depth by < 2^-19 relative). Replaces argmin + one-hot +
-    # matvec - three more [P, N] passes - with a single fused min.
+    # matvec - three more [N, P] passes - with a single fused min.
     dbits = jax.lax.bitcast_convert_type(d, jnp.int32)
-    key = jnp.bitwise_or(jnp.bitwise_and(dbits, ~15), b_cls[None, :])
-    best = jnp.min(key, axis=1)  # [P]
+    key = jnp.bitwise_or(jnp.bitwise_and(dbits, ~15), b_cls[:, None])
+    best = jnp.min(key, axis=0)  # [P]
     best_cls = jnp.bitwise_and(best, 15)
     best_d = jax.lax.bitcast_convert_type(
         jnp.bitwise_and(best, ~15), jnp.float32

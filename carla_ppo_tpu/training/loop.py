@@ -133,8 +133,14 @@ class Trainer:
         if settings.vae_model:
             from carla_ppo_tpu.models import vae_common
 
+            # policy_dtype doubles as the compute dtype of the frozen VAE
+            # encoder in the rollout (one precision knob for the whole
+            # inference stack; checkpoints stay float32 either way).
             vae, vae_vars = vae_common.load_vae(
-                settings.vae_model, settings.vae_z_dim, settings.vae_model_type
+                settings.vae_model,
+                settings.vae_z_dim,
+                settings.vae_model_type,
+                dtype=jnp.dtype(settings.policy_dtype),
             )
             self.latent_obs = ppo.LatentObs(vae_model=vae, source=settings.vae_source)
             self.vae_variables = vae_vars
