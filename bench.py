@@ -58,20 +58,26 @@ def main() -> None:
     from carla_ppo_tpu.models import vae_common
     from carla_ppo_tpu.ops import rasterizer as R
 
-    vae = vae_common.build_vae(64, "cnn", 1, source_shape=(80, 160, 1))
     import jax.numpy as jnp
 
+    # The recommended perception-config recipe: bfloat16 compute for the
+    # frozen encoder + policy trunks (params stay f32; quality validated by
+    # the bf16 lap solve - see README).
+    model_l = ActorCritic(dtype=jnp.bfloat16)
+    vae = vae_common.build_vae(
+        64, "cnn", 1, source_shape=(80, 160, 1), dtype=jnp.bfloat16
+    )
     vae_vars = vae.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 80, 160, 1)), jax.random.PRNGKey(1), True
     )
     latent = ppo.LatentObs(vae_model=vae, source="seg")
-    ts_l = ppo.create_train_state(model, config, latent.obs_dim, rng)
+    ts_l = ppo.create_train_state(model_l, config, latent.obs_dim, rng)
     env_l = ppo.init_env_batch(env_params, NUM_ENVS, rng)
 
     def run_latent(n, ts, envs):
         for _ in range(n):
             ts, envs, _ = ppo.train_iteration(
-                ts, envs, env_params, model, config,
+                ts, envs, env_params, model_l, config,
                 latent_obs=latent, vae_variables=vae_vars,
             )
         jax.block_until_ready(ts.params)

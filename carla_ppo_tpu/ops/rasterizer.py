@@ -21,9 +21,11 @@ TPU-first formulation - no scanline loops, no branches:
    index + dot(fwd_i, p - pos_i) give road-local (Frenet) coordinates; the
    class image is a pile of jnp.where threshold tests on those.
 
-Cost per env: ~20 MFLOP of MXU matmul + a few M VPU ops - about 2 ms for
-1024 envs on one v5e chip. A fused Pallas variant lives in
-`ops/rasterizer_pallas.py`.
+Measured cost: ~12 ms for 1024 full frames on one v5e chip (~10.5 ms net of
+the axon per-dispatch floor), after four layout-driven optimizations - see
+the round-2 notes on _window_table, ground_points (structure-of-arrays),
+frenet_coords (transposed payload fetch), and billboard_pass (packed min).
+A fused Pallas variant lives in `ops/rasterizer_pallas.py`.
 """
 
 from __future__ import annotations
