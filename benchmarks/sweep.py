@@ -119,6 +119,29 @@ def main():
     dt = timeit(train_latent, ts, envs, iters=3)
     report("ppo_train_latent_frozen_vae", B, B * T, dt)
 
+    # 5. shard_map dp machinery overhead on a 1-device mesh: the same
+    # iteration routed through parallel/train_dp (shard_map + psum + the
+    # per-device key fold). On one chip psum is a no-op, so the delta vs
+    # ppo_train_vector is pure dp-path overhead; an n-chip projection is
+    # n * per-chip-throughput * (1 - overhead) - the gradient all-reduce
+    # itself moves ~1.6 MB of params over ICI per minibatch, <1 ms/iter
+    # at v5e ICI bandwidth.
+    if len(jax.devices()) >= 1:
+        from carla_ppo_tpu.parallel import train_dp
+        from carla_ppo_tpu.parallel.mesh import make_mesh
+
+        B, T = 1024 if not args.quick else 256, 128
+        config = ppo.PPOConfig(num_envs=B, horizon=T)
+        mesh = make_mesh(1)
+        ts = ppo.create_train_state(model, config, vector_obs_dim(), rng)
+        envs = ppo.init_env_batch(env_params, B, rng)
+        ts = train_dp.replicate(ts, mesh)
+        envs = train_dp.shard_env_batch(envs, mesh)
+        dp_step = train_dp.make_dp_train_iteration(mesh, model, config, env_params)
+
+        dt = timeit(dp_step, ts, envs, iters=5)
+        report("ppo_train_vector_dp1", B, B * T, dt)
+
     print(json.dumps({"all": results}))
 
 
