@@ -93,7 +93,29 @@ def main() -> None:
             )
         if it % 100 == 0:
             ckpt.save(it, ts)
+        if it % 250 == 0:
+            ev = pixels.evaluate(
+                ts.params, env_params, model, jax.random.PRNGKey(1),
+                num_envs=8, max_steps=26_000, config=config, pix=pix,
+            )
+            writer.write_scalars({k: float(v) for k, v in ev.items()}, it)
+            print(
+                f"  eval @{it}: reward {float(ev['eval/reward']):8.1f} "
+                f"dist {float(ev['eval/distance_traveled']):6.1f} m "
+                f"laps {float(ev['eval/laps_completed']):.2f} "
+                f"finished {float(ev['eval/finished']):.2f}",
+                flush=True,
+            )
     ckpt.save(int(ts.iteration), ts)
+    ev = pixels.evaluate(
+        ts.params, env_params, model, jax.random.PRNGKey(1),
+        num_envs=8, max_steps=26_000, config=config, pix=pix,
+    )
+    print(
+        f"final eval: dist {float(ev['eval/distance_traveled']):.1f} m "
+        f"laps {float(ev['eval/laps_completed']):.2f}",
+        flush=True,
+    )
     writer.close()
     ckpt.close()
     print("done", flush=True)

@@ -439,3 +439,126 @@ def warm_start_from_vae(train_state: TrainState, vae_variables) -> TrainState:
         if isinstance(train_state.params, flax.core.FrozenDict)
         else params
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "config", "pix", "num_envs", "chunk"),
+)
+def evaluate(
+    params: Any,
+    env_params: EnvParams,
+    model: PixelActorCritic,
+    rng: Array,
+    num_envs: int = 8,
+    max_steps: int = 26_000,
+    config: PPOConfig = PPOConfig(),
+    pix: PixelConfig = PixelConfig(),
+    chunk: int = 256,
+) -> Dict[str, Array]:
+    """Greedy evaluation of a pixel agent (reference: run_eval.py:30-73).
+
+    Mirror of ppo.evaluate for the pixel pipeline: resets with
+    is_training=False, acts on the action mean from rendered frames, runs
+    as a while_loop of `chunk`-step scans with a DYNAMIC max_steps (no
+    per-budget recompiles), exits early once every env finished, and latches
+    the first terminal snapshot per env.
+    """
+    env = {"lap": lap_env, "route": route_env}[config.env_kind]
+    keys = jax.random.split(rng, num_envs)
+    states = jax.vmap(lambda k: env.reset(env_params, k, is_training=False))(
+        keys
+    )
+    frames0, meas0 = _render_and_measure(
+        states, env_params, pix.cam, config.env_kind
+    )
+    max_steps = jnp.asarray(max_steps, jnp.int32)
+
+    def step_fn(carry, _):
+        states, frames, meas, done, snap, t = carry
+        active = jnp.logical_and(jnp.logical_not(done), t < max_steps)
+        f = frames.astype(jnp.float32)[..., None] / 12.0
+        mean, _, _ = model.apply(
+            params, f, meas, method=model.policy_value
+        )
+        next_states, out = jax.vmap(
+            lambda s, a: env.step(s, a, env_params, "vector")
+        )(states, mean)
+        newly = jnp.logical_and(out.done, active)
+
+        snap = jax.tree.map(
+            lambda old, new: jnp.where(newly, new, old),
+            snap,
+            {
+                "reward": out.total_reward,
+                "distance": out.distance_traveled,
+                "deviation": out.center_lane_deviation,
+                "speed_accum": out.speed_accum,
+                "laps": out.laps_completed,
+                "steps": out.step_count.astype(jnp.float32),
+            },
+        )
+        done = jnp.logical_or(done, newly)
+        states = jax.tree.map(
+            lambda old, new: jnp.where(
+                active.reshape((-1,) + (1,) * (new.ndim - 1)) if new.ndim > 1
+                else active,
+                new,
+                old,
+            ),
+            states,
+            next_states,
+        )
+        next_frames, next_meas = _render_and_measure(
+            states, env_params, pix.cam, config.env_kind
+        )
+        return (states, next_frames, next_meas, done, snap, t + 1), None
+
+    snap0 = {
+        "reward": jnp.zeros(num_envs),
+        "distance": jnp.zeros(num_envs),
+        "deviation": jnp.zeros(num_envs),
+        "speed_accum": jnp.zeros(num_envs),
+        "laps": jnp.zeros(num_envs),
+        "steps": jnp.zeros(num_envs),
+    }
+
+    def chunk_cond(carry):
+        _, _, _, done, _, t = carry
+        return jnp.logical_and(t < max_steps, jnp.logical_not(jnp.all(done)))
+
+    def chunk_body(carry):
+        carry, _ = jax.lax.scan(step_fn, carry, None, length=chunk)
+        return carry
+
+    states, _, _, done, snap, _ = jax.lax.while_loop(
+        chunk_cond,
+        chunk_body,
+        (states, frames0, meas0, jnp.zeros(num_envs, bool), snap0,
+         jnp.int32(0)),
+    )
+    snap = jax.tree.map(
+        lambda latched, live: jnp.where(done, latched, live),
+        snap,
+        {
+            "reward": states.total_reward,
+            "distance": states.distance_traveled,
+            "deviation": states.center_lane_deviation,
+            "speed_accum": states.speed_accum,
+            "laps": states.laps_completed,
+            "steps": states.step_count.astype(jnp.float32),
+        },
+    )
+    steps = jnp.maximum(snap["steps"], 1.0)
+    dev = jnp.maximum(snap["deviation"], 1e-6)
+    return {
+        "eval/reward": snap["reward"].mean(),
+        "eval/distance_traveled": snap["distance"].mean(),
+        "eval/average_speed": (3.6 * snap["speed_accum"] / steps).mean(),
+        "eval/center_lane_deviation": snap["deviation"].mean(),
+        "eval/average_center_lane_deviation": (snap["deviation"] / steps).mean(),
+        "eval/distance_over_deviation": (snap["distance"] / dev).mean(),
+        "eval/laps_completed": snap["laps"].mean(),
+        "eval/episode_steps": snap["steps"].mean(),
+        "eval/finished": done.astype(jnp.float32).mean(),
+    }

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from carla_ppo_tpu.envs import track
+from carla_ppo_tpu.envs.types import EnvParams
 from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
 from carla_ppo_tpu.training import pixels, ppo
 
@@ -117,3 +119,30 @@ def test_warm_start_from_vae():
         np.asarray(p["pi"]["dense_0"]["kernel"]),
         np.asarray(ts.params["params"]["pi"]["dense_0"]["kernel"]),
     )
+
+
+def test_pixel_evaluate_greedy():
+    """pixels.evaluate: greedy chunked eval terminates, latches snapshots,
+    and reports the reference metric set (mirror of ppo.evaluate)."""
+    model = PixelActorCritic()
+    config = ppo.PPOConfig(num_envs=2, horizon=4)
+    pix = pixels.PixelConfig()
+    env_params = EnvParams(track=track.make_lap_track(seed=0, props=True))
+    ts = pixels.create_pixel_train_state(model, config, jax.random.PRNGKey(0))
+    ev = pixels.evaluate(
+        ts.params, env_params, model, jax.random.PRNGKey(1),
+        num_envs=2, max_steps=300, config=config, pix=pix, chunk=64,
+    )
+    # A fresh agent stalls: the low-speed terminator fires within budget.
+    assert float(ev["eval/finished"]) == 1.0
+    assert 0.0 < float(ev["eval/episode_steps"]) <= 300.0
+    assert float(ev["eval/distance_traveled"]) >= 0.0
+    for k in ("eval/reward", "eval/laps_completed", "eval/average_speed"):
+        assert k in ev
+    # Dynamic max_steps: a different budget must not trigger a recompile
+    # (hash of the jitted fn's static args is identical) - just run it.
+    ev2 = pixels.evaluate(
+        ts.params, env_params, model, jax.random.PRNGKey(1),
+        num_envs=2, max_steps=200, config=config, pix=pix, chunk=64,
+    )
+    assert float(ev2["eval/episode_steps"]) <= 200.0
