@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_epochs", type=int, default=3)
     parser.add_argument("--num_minibatches", type=int, default=4,
                         help="Minibatches per epoch (the batch-size analog)")
+    parser.add_argument("--minibatch_axis", type=str, default="env",
+                        choices=["env", "sample"],
+                        help="Minibatch shuffling axis: 'env' permutes envs "
+                             "(contiguous horizons - faster at large "
+                             "batches), 'sample' reproduces the reference's "
+                             "flat per-sample shuffle")
     parser.add_argument("--num_episodes", type=int, default=0,
                         help="Training iterations; <= 0 trains forever")
     parser.add_argument("--max_grad_norm", type=float, default=0.0,
@@ -126,6 +132,7 @@ def main(argv=None) -> None:
         num_epochs=params["num_epochs"],
         num_envs=params["num_envs"],
         num_minibatches=params["num_minibatches"],
+        minibatch_axis=params["minibatch_axis"],
         env_kind=params["env"],
         max_grad_norm=params["max_grad_norm"],
         normalize_rewards=params["normalize_rewards"],

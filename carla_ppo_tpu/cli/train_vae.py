@@ -39,17 +39,30 @@ def main(argv=None) -> None:
     parser.add_argument("--early_stop_patience", type=int, default=10)
     parser.add_argument("--use_segmentation_as_target", type=lambda v: bool(int(v)),
                         default=True)
+    parser.add_argument("--source", type=str, default="rgb",
+                        choices=["rgb", "seg"],
+                        help="Encoder input: rgb frames (reference parity) "
+                             "or the 1-channel segmentation maps themselves "
+                             "(a seg->seg autoencoder - crisper latents for "
+                             "the on-device seg camera)")
     parser.add_argument("--limit", type=int, default=None,
                         help="Cap dataset size (debug)")
     parser.add_argument("--seed", type=int, default=0)
     params = parser.parse_args(argv)
 
     print("Loading images...")
-    source = datasets.load_images(
-        os.path.join(params.dataset, "rgb"),
-        datasets.preprocess_rgb_frame,
-        limit=params.limit,
-    )
+    if params.source == "seg":
+        source = datasets.load_images(
+            os.path.join(params.dataset, "segmentation"),
+            datasets.preprocess_seg_frame,
+            limit=params.limit,
+        )
+    else:
+        source = datasets.load_images(
+            os.path.join(params.dataset, "rgb"),
+            datasets.preprocess_rgb_frame,
+            limit=params.limit,
+        )
     if params.use_segmentation_as_target:
         target = datasets.load_images(
             os.path.join(params.dataset, "segmentation"),
@@ -83,7 +96,7 @@ def main(argv=None) -> None:
     name = vae_common.model_dir_name(
         "seg" if params.use_segmentation_as_target else "rgb",
         params.loss_type, params.model_type, params.z_dim, params.beta,
-        params.kl_tolerance,
+        params.kl_tolerance, source_depth=source.shape[-1],
     )
     model_dir = os.path.join(params.models_dir, name)
     ckpt = Checkpointer(os.path.join(model_dir, "checkpoints"))

@@ -30,25 +30,33 @@ from carla_ppo_tpu.utils.checkpoint import Checkpointer
 
 def model_dir_name(
     source: str, loss_type: str, model_type: str, z_dim: int, beta: float,
-    kl_tolerance: float,
+    kl_tolerance: float, source_depth: int = 3,
 ) -> str:
     """Compose the reference's directory naming scheme
     (e.g. seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data;
-    reference: vae/train_vae.py:83-87)."""
+    reference: vae/train_vae.py:83-87). `source` names the TARGET family
+    exactly like the reference ("seg" = trained against segmentation maps).
+    A 1-channel source (a seg->seg autoencoder, our extension - the
+    reference only ever encodes RGB) additionally gets a "from_seg_"
+    prefix so the configuration round-trips through parse_model_dir."""
     prefix = "seg_" if source == "seg" else ""
+    if source_depth == 1:
+        prefix = "from_seg_" + prefix
     beta_s = int(beta) if float(beta).is_integer() else beta
     return f"{prefix}{loss_type}_{model_type}_zdim{z_dim}_beta{beta_s}_kl_tolerance{kl_tolerance}_data"
 
 
-def parse_model_dir(model_dir: str) -> Tuple[int, str, int]:
-    """(z_dim, model_type, target_depth) from a model directory name
-    (reference: vae_common.py:12-15)."""
+def parse_model_dir(model_dir: str) -> Tuple[int, str, int, int]:
+    """(z_dim, model_type, target_depth, source_depth) from a model
+    directory name (reference: vae_common.py:12-15; source_depth is our
+    extension for seg->seg autoencoders)."""
     name = os.path.basename(os.path.normpath(model_dir))
     z = re.findall(r"zdim(\d+)", name)
     z_dim = int(z[0]) if z else 64
     model_type = "mlp" if "mlp" in name else "cnn"
     target_depth = 1 if "seg_" in name else 3
-    return z_dim, model_type, target_depth
+    source_depth = 1 if "from_seg_" in name else 3
+    return z_dim, model_type, target_depth, source_depth
 
 
 def build_vae(
@@ -74,10 +82,14 @@ def load_vae(
     """Build + restore a pretrained VAE; raises if nothing restores
     (reference: vae_common.py:6-27). `dtype` sets the encoder compute dtype
     only (checkpoints are float32 either way)."""
-    p_z, p_type, p_depth = parse_model_dir(model_dir)
+    p_z, p_type, p_depth, p_src = parse_model_dir(model_dir)
     z_dim = z_dim or p_z
     model_type = model_type or p_type
-    model = build_vae(z_dim, model_type, p_depth, dtype=dtype)
+    model = build_vae(
+        z_dim, model_type, p_depth,
+        source_shape=(80, 160, p_src),
+        dtype=dtype,
+    )
 
     dummy = jnp.zeros((1, *model.source_shape), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), dummy, jax.random.PRNGKey(1), True)

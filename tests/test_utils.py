@@ -109,7 +109,11 @@ def test_model_dir_name_roundtrip():
 
     name = model_dir_name("seg", "bce", "cnn", 64, 1.0, 0.0)
     assert name == "seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
-    z, mtype, depth = parse_model_dir(name)
+    z, mtype, depth, src_depth = parse_model_dir(name)
+    assert src_depth == 3
     assert (z, mtype, depth) == (64, "cnn", 1)
-    z, mtype, depth = parse_model_dir("rgb_bce_mlp_zdim32_beta4_kl_tolerance0.5_data")
+    z, mtype, depth, _ = parse_model_dir("rgb_bce_mlp_zdim32_beta4_kl_tolerance0.5_data")
+    name1 = model_dir_name("seg", "bce", "cnn", 64, 1.0, 0.0, source_depth=1)
+    assert name1.startswith("from_seg_seg_")
+    assert parse_model_dir(name1) == (64, "cnn", 1, 1)
     assert (z, mtype, depth) == (32, "mlp", 3)
