@@ -26,6 +26,12 @@ def main() -> None:
     parser.add_argument("--learning_rate", type=float, default=3e-4)
     parser.add_argument("--max_grad_norm", type=float, default=0.5)
     parser.add_argument("--vae_scale", type=float, default=1e-4)
+    # The latent-config breakthrough recipe (round 2): a smaller initial
+    # exploration std + weaker entropy bonus lets the action mean sharpen -
+    # with std ~1.0 the stochastic rollouts crash before corners and the
+    # greedy policy stays knife-edged (see RESULTS_round2.md).
+    parser.add_argument("--initial_std", type=float, default=0.5)
+    parser.add_argument("--entropy_scale", type=float, default=0.003)
     parser.add_argument("--model_dir", type=str, default="models/pixel_agent")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num_npcs", type=int, default=0)
@@ -42,13 +48,15 @@ def main() -> None:
     from carla_ppo_tpu.utils.checkpoint import Checkpointer
     from carla_ppo_tpu.utils.metrics import MetricsWriter
 
-    model = PixelActorCritic()
+    model = PixelActorCritic(initial_std=args.initial_std)
     config = ppo.PPOConfig(
         num_envs=args.num_envs,
         horizon=args.horizon,
         num_minibatches=8,
         learning_rate=args.learning_rate,
         max_grad_norm=args.max_grad_norm,
+        initial_std=args.initial_std,
+        entropy_scale=args.entropy_scale,
     )
     pix = pixels.PixelConfig(vae_scale=args.vae_scale)
     import jax.numpy as jnp
