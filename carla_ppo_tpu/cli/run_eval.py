@@ -29,6 +29,10 @@ def main(argv=None) -> None:
     parser.add_argument("--no_video", action="store_true")
     parser.add_argument("--max_steps", type=int, default=3000)
     parser.add_argument("--vae_model", type=str, default=None)
+    parser.add_argument("--vae_source", type=str, default="seg",
+                        choices=["seg", "rgb"])
+    parser.add_argument("--rich_scene", type=lambda v: bool(int(v)),
+                        default=True)
     parser.add_argument("--track_seed", type=int, default=0)
     parser.add_argument("--reward_fn", type=str,
                         default="reward_speed_centering_angle_multiply")
@@ -42,6 +46,8 @@ def main(argv=None) -> None:
         track_seed=params.track_seed,
         reward_fn=params.reward_fn,
         vae_model=params.vae_model,
+        vae_source=params.vae_source,
+        rich_scene=params.rich_scene,
         seed=params.seed,
         eval_envs=params.num_envs,
     )

@@ -26,7 +26,9 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "checkpoint_gold
 
 LAP_AGENT_DIR = "models/pretrained_agent"
 PIXEL_AGENT_DIR = "models/pixel_agent_pretrained"
+LATENT_AGENT_DIR = "models/latent_agent_pretrained"
 VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
+DEPROP_VAE_DIR = "vae/models/from_seg_seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
 
 
 def synthetic_frame(shape) -> jnp.ndarray:
@@ -94,10 +96,12 @@ def compute_pixel_agent_outputs(repo_root: str = "."):
     }
 
 
-def compute_vae_outputs(repo_root: str = "."):
+def compute_vae_outputs(repo_root: str = ".", vae_dir: str | None = None):
     from carla_ppo_tpu.models import vae_common
 
-    model, variables = vae_common.load_vae(os.path.join(repo_root, VAE_DIR))
+    model, variables = vae_common.load_vae(
+        os.path.join(repo_root, vae_dir or VAE_DIR)
+    )
     frame = synthetic_frame(model.source_shape)
     z = model.apply(variables, frame, method=model.encode)
     return {
@@ -106,10 +110,39 @@ def compute_vae_outputs(repo_root: str = "."):
     }
 
 
+def compute_latent_agent_outputs(repo_root: str = "."):
+    """The shipped rich-scene latent agent (config 2): z64 ++ 3 measurements
+    consumed by the standard ActorCritic."""
+    from carla_ppo_tpu.models.policy import ActorCritic
+    from carla_ppo_tpu.training import ppo
+    from carla_ppo_tpu.utils.checkpoint import Checkpointer
+
+    model = ActorCritic()
+    config = ppo.PPOConfig()
+    template = ppo.create_train_state(model, config, 67, jax.random.PRNGKey(0))
+    ck = Checkpointer(os.path.join(repo_root, LATENT_AGENT_DIR, "checkpoints"))
+    restored = ck.restore_latest(template)
+    ck.close()
+    if restored is None:
+        raise FileNotFoundError(LATENT_AGENT_DIR)
+    obs = synthetic_vector_obs(67)
+    mean, std, value = model.apply(restored.params, obs)
+    return {
+        "step": int(ck.latest_step() or -1),
+        "mean": np.asarray(mean[0]).tolist(),
+        "std": np.asarray(std).tolist(),
+        "value": float(value[0]),
+    }
+
+
 COMPUTE_FNS = {
     "lap_agent": compute_lap_agent_outputs,
     "pixel_agent": compute_pixel_agent_outputs,
+    "latent_agent": compute_latent_agent_outputs,
     "seg_vae": compute_vae_outputs,
+    "deprop_vae": lambda repo_root=".": compute_vae_outputs(
+        repo_root, DEPROP_VAE_DIR
+    ),
 }
 
 

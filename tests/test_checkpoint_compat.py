@@ -32,7 +32,10 @@ def _assert_close(actual, expected, rtol=1e-5, atol=1e-5):
     np.testing.assert_allclose(np.asarray(actual), np.asarray(expected), rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("name", ["lap_agent", "pixel_agent", "seg_vae"])
+@pytest.mark.parametrize(
+    "name",
+    ["lap_agent", "pixel_agent", "latent_agent", "seg_vae", "deprop_vae"],
+)
 def test_checkpoint_restores_and_matches_golden(name):
     goldens = _goldens()
     if name not in goldens:
