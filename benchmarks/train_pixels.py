@@ -71,6 +71,12 @@ def main() -> None:
     envs = ppo.init_env_batch(env_params, args.num_envs, rng)
 
     ckpt = Checkpointer(os.path.join(args.model_dir, "checkpoints"))
+    # Solve-aware best stream (mirrors training/loop.Trainer): greedy eval
+    # peaks are latched by mechanism, not by hoping a periodic save lands on
+    # one - joint pixel training degrades unpredictably late (see
+    # RESULTS_round2.md), so the best checkpoint is the shippable artifact.
+    best_ckpt = Checkpointer(os.path.join(args.model_dir, "best"))
+    best_key = (-1.0, -float("inf"))  # (laps, reward)
     restored = ckpt.restore_latest(ts)
     if restored is not None:
         ts = restored
@@ -107,11 +113,20 @@ def main() -> None:
                 num_envs=8, max_steps=26_000, config=config, pix=pix,
             )
             writer.write_scalars({k: float(v) for k, v in ev.items()}, it)
+            key = (
+                round(float(ev["eval/laps_completed"]), 2),
+                float(ev["eval/reward"]),
+            )
+            marker = ""
+            if key > best_key:
+                best_key = key
+                best_ckpt.save(it, ts)
+                marker = "  <- new best"
             print(
                 f"  eval @{it}: reward {float(ev['eval/reward']):8.1f} "
                 f"dist {float(ev['eval/distance_traveled']):6.1f} m "
                 f"laps {float(ev['eval/laps_completed']):.2f} "
-                f"finished {float(ev['eval/finished']):.2f}",
+                f"finished {float(ev['eval/finished']):.2f}{marker}",
                 flush=True,
             )
     ckpt.save(int(ts.iteration), ts)
@@ -126,6 +141,7 @@ def main() -> None:
     )
     writer.close()
     ckpt.close()
+    best_ckpt.close()
     print("done", flush=True)
 
 
