@@ -71,3 +71,53 @@ def test_collect_data_small(tmp_path):
     # Class ids in the red channel, <= 12 (CARLA seg format).
     assert seg_img[..., 0].max() <= 12
     assert seg_img[..., 1].max() == 0
+
+
+def test_train_parser_round2_knobs():
+    """Round-2 performance/recipe knobs parse and carry their defaults."""
+    from carla_ppo_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--model_name", "m"])
+    assert args.policy_dtype == "float32"
+    assert args.minibatch_axis == "env"
+    assert args.vae_source == "seg"
+
+    args = p.parse_args(
+        [
+            "--model_name", "m",
+            "--policy_dtype", "bfloat16",
+            "--minibatch_axis", "sample",
+            "--vae_source", "rgb",
+        ]
+    )
+    assert args.policy_dtype == "bfloat16"
+    assert args.minibatch_axis == "sample"
+    assert args.vae_source == "rgb"
+    with pytest.raises(SystemExit):
+        p.parse_args(["--model_name", "m", "--policy_dtype", "float16"])
+
+
+def test_run_eval_parser_round2_knobs():
+    import argparse
+
+    from carla_ppo_tpu.cli import run_eval as re_mod
+
+    # The parser is built inside main(); probe via a parse-only invocation.
+    parser = argparse.ArgumentParser()
+    # Reuse main's parser by calling with --help-free args through a dry
+    # parse: simplest is to run main up to parsing with a bogus model and
+    # catch the missing-checkpoint exit.
+    import contextlib
+    import io
+
+    with pytest.raises(SystemExit):
+        with contextlib.redirect_stdout(io.StringIO()):
+            re_mod.main(
+                [
+                    "--model_name", "definitely_missing_model",
+                    "--vae_source", "rgb",
+                    "--rich_scene", "0",
+                    "--no_video",
+                ]
+            )
