@@ -17,8 +17,8 @@ the 2D cross -> LEFT / RIGHT.
 
 Everything runs once at startup in numpy/networkx; the output is a padded
 `TrackData` bank with a leading route axis, baked to device arrays. For very
-large banks the same algorithm is implemented natively in
-native/route_planner.cc (see carla_ppo_tpu.utils.native).
+large banks the same A* is implemented natively in
+native/carla_ppo_native.cc (see carla_ppo_tpu.utils.native).
 """
 
 from __future__ import annotations

@@ -54,8 +54,12 @@ def parse_model_dir(model_dir: str) -> Tuple[int, str, int, int]:
     z = re.findall(r"zdim(\d+)", name)
     z_dim = int(z[0]) if z else 64
     model_type = "mlp" if "mlp" in name else "cnn"
-    target_depth = 1 if "seg_" in name else 3
-    source_depth = 1 if "from_seg_" in name else 3
+    # Strip the source prefix BEFORE testing for the target's "seg_": a
+    # seg-source/RGB-target model ("from_seg_bce_...") must parse as
+    # target_depth 3, not have its "from_seg_" matched as the target marker.
+    source_depth = 1 if name.startswith("from_seg_") else 3
+    rest = name[len("from_seg_"):] if source_depth == 1 else name
+    target_depth = 1 if rest.startswith("seg_") else 3
     return z_dim, model_type, target_depth, source_depth
 
 

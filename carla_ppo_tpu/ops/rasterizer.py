@@ -47,6 +47,13 @@ from carla_ppo_tpu.envs.types import (
     TrackData,
 )
 
+# The billboard pass packs the class id into the low 4 mantissa bits of a
+# positive-f32 depth so nearest-candidate + class resolve in one int32 min
+# (see billboard_pass). That trick only holds while every class id fits in
+# 4 bits; fail LOUDLY at import if a 16th class is ever added rather than
+# silently corrupting both the depth compare and the decoded class.
+assert max(SegClass) < 16, "billboard depth/class packing assumes 4-bit class ids"
+
 
 @dataclasses.dataclass(frozen=True)
 class CameraConfig:

@@ -9,6 +9,13 @@ the same work as rasterizer._ground_pass. The billboard pass (props, NPC
 vehicles) is a cheap [P, N] composite that stays in XLA either way; to get a
 full scene-rich frame from these kernels, run rasterizer.billboard_pass over
 the kernel output exactly as render_semantic does over _ground_pass.
+LIMITATION: these kernels classify with a single symmetric half_width per
+track, while the XLA renderer draws asymmetric left/right widths (dual-lane
+route tracks) and centers the dashed line at (lw-rw)/2 — on dual-lane roads
+the two paths diverge (tests/test_rasterizer_pallas.py carries an xfail
+route-track parity test documenting it). Passing per-waypoint widths through
+the VMEM window table would close it; not done while the kernels are
+non-production (see status below).
 
 Mosaic-friendly layout (see pallas_guide "Tiling Constraints" and "Common
 Pitfalls"): every per-pixel tensor keeps a native (SUB, LANE) = (16, 128)

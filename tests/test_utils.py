@@ -117,3 +117,9 @@ def test_model_dir_name_roundtrip():
     assert name1.startswith("from_seg_seg_")
     assert parse_model_dir(name1) == (64, "cnn", 1, 1)
     assert (z, mtype, depth) == (32, "mlp", 3)
+    # seg-source / RGB-target: the "from_seg_" prefix must not be mistaken
+    # for the target's "seg_" marker (train_vae --source seg
+    # --use_segmentation_as_target 0).
+    name2 = model_dir_name("rgb", "bce", "cnn", 64, 1.0, 0.0, source_depth=1)
+    assert name2.startswith("from_seg_bce_")
+    assert parse_model_dir(name2) == (64, "cnn", 3, 1)
