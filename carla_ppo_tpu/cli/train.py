@@ -26,6 +26,19 @@ def bool_flag(v: str) -> bool:
     return bool(int(v))
 
 
+def schedule_flag(spec: str):
+    """Parse "0:3e-4,800:1e-4" into ((0, 3e-4), (800, 1e-4)) - a
+    piecewise-constant schedule keyed by iteration (PPOConfig.lr_schedule /
+    entropy_schedule). Empty string = no schedule."""
+    if not spec:
+        return ()
+    pairs = []
+    for part in spec.split(","):
+        start, value = part.split(":")
+        pairs.append((int(start), float(value)))
+    return tuple(sorted(pairs))
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Trains a driving agent with PPO on the on-device simulator"
@@ -59,11 +72,35 @@ def build_parser() -> argparse.ArgumentParser:
                         default=False,
                         help="VecNormalize-style reward scaling (config 3)")
     parser.add_argument("--policy_dtype", type=str, default="float32",
-                        choices=["float32", "bfloat16"],
+                        choices=["float32", "bfloat16", "mixed"],
                         help="Compute dtype of the policy/value MLP matmuls "
                              "(params and the distribution math stay float32; "
                              "bfloat16 rides the MXU ~1.5x faster at large "
-                             "env batches)")
+                             "env batches). 'mixed' = bfloat16 rollout + "
+                             "float32 update: f32 convergence quality at "
+                             "most of bf16's speed")
+
+    parser.add_argument("--lr_schedule", type=schedule_flag, default=(),
+                        help="Piecewise-constant lr by iteration, e.g. "
+                             "'0:3e-4,800:1e-4' (overrides --learning_rate/"
+                             "--lr_decay); encodes multi-phase recipes so a "
+                             "solve needs no mid-run intervention")
+    parser.add_argument("--entropy_schedule", type=schedule_flag, default=(),
+                        help="Piecewise-constant entropy scale by iteration, "
+                             "e.g. '0:0.003,800:0.002'")
+
+    # Observation pipeline (reference: constructor injection, train.py:69-76).
+    parser.add_argument("--obs", type=str, default=None,
+                        choices=["vector", "latent", "pixels"],
+                        help="Observation pipeline; default: latent when "
+                             "--vae_model is given, else vector. 'pixels' "
+                             "trains the conv policy end-to-end with the "
+                             "joint-VAE auxiliary loss (config 4)")
+    parser.add_argument("--vae_scale", type=float, default=1e-4,
+                        help="pixels: joint-VAE auxiliary loss weight")
+    parser.add_argument("--warm_start_vae", type=str, default=None,
+                        help="pixels: VAE model dir to initialize the "
+                             "encoder/z-heads/decoder from (fresh runs only)")
 
     # VAE parameters (reference: train.py:238-242).
     parser.add_argument("--vae_model", type=str, default=None,
@@ -136,6 +173,8 @@ def main(argv=None) -> None:
         env_kind=params["env"],
         max_grad_norm=params["max_grad_norm"],
         normalize_rewards=params["normalize_rewards"],
+        lr_schedule=params["lr_schedule"],
+        entropy_schedule=params["entropy_schedule"],
     )
     settings = TrainerSettings(
         model_name=params["model_name"],
@@ -151,10 +190,13 @@ def main(argv=None) -> None:
         fps=params["fps"],
         action_smoothing=params["action_smoothing"],
         reward_fn=params["reward_fn"],
+        obs=params["obs"],
         vae_model=params["vae_model"],
         vae_model_type=params["vae_model_type"],
         vae_z_dim=params["vae_z_dim"],
         vae_source=params["vae_source"],
+        vae_scale=params["vae_scale"],
+        warm_start_vae=params["warm_start_vae"],
         policy_dtype=params["policy_dtype"],
     )
 

@@ -35,6 +35,7 @@ def make_dp_train_iteration(
     axis_name: str = DATA_AXIS,
     latent_obs=None,
     vae_variables=None,
+    rollout_model=None,
 ):
     """Build a jitted data-parallel train iteration bound to `mesh`.
 
@@ -43,6 +44,8 @@ def make_dp_train_iteration(
     replicated. With `latent_obs` (+ frozen `vae_variables`), each shard
     renders its own envs' camera frames and encodes them locally - only the
     gradient/statistic psums cross ICI (config 2 at multi-chip scale).
+    `rollout_model` = the mixed-precision behavior-policy twin
+    (ppo.train_iteration_core docstring).
     """
 
     @partial(
@@ -59,6 +62,7 @@ def make_dp_train_iteration(
             train_state, env_states, env_params, model, config,
             axis_name=axis_name,
             latent_obs=latent_obs, vae_variables=vae_variables,
+            rollout_model=rollout_model,
         )
 
     return jax.jit(dp_iteration)

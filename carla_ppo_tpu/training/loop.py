@@ -61,16 +61,33 @@ class TrainerSettings:
     fps: int = 30
     action_smoothing: float = 0.0  # train.py:247 default
     reward_fn: str = "reward_speed_centering_angle_multiply"
+    # Observation pipeline: "vector" (ground-truth state), "latent"
+    # (frozen-VAE z ++ measurements, config 2), or "pixels" (end-to-end conv
+    # policy with joint-VAE auxiliary training, config 4). None = infer:
+    # latent when vae_model is set, else vector. The reference selects its
+    # pipeline the same way - one driver, observation injected at
+    # construction (train.py:69-76).
+    obs: Optional[str] = None
     # VAE latent observations (config 2): path to a trained VAE model dir.
     vae_model: Optional[str] = None
     vae_model_type: Optional[str] = None
     vae_z_dim: Optional[int] = None
     vae_source: str = "seg"
+    # Pixel pipeline (config 4) knobs.
+    vae_scale: float = 1e-4  # joint-VAE auxiliary loss weight
+    # Trained VAE model dir to initialize the pixel agent's encoder/z-heads/
+    # decoder from (fresh runs only; resumes keep their checkpoint).
+    warm_start_vae: Optional[str] = None
     # Compute dtype for the policy/value MLP matmuls. Params and the
     # Gaussian log-prob/entropy math stay float32 (ActorCritic casts its
     # outputs back), so checkpoints are dtype-invariant; bfloat16 keeps the
     # big-batch update matmuls on the MXU's fast path (~1.5x at 8192 envs,
-    # benchmarks/profile_update.py --dtype bfloat16).
+    # benchmarks/profile_update.py --dtype bfloat16). "mixed" = bfloat16
+    # ROLLOUT (behavior policy + frozen VAE encoder ride the fast path) with
+    # a float32 UPDATE - exact importance sampling, so it keeps f32's
+    # convergence quality while shedding most of bf16's speed win's cost
+    # (pure bf16 plateaus ~2.4-2.8 laps where f32 reaches 3.00;
+    # RESULTS_round2.md).
     policy_dtype: str = "float32"
 
 
@@ -127,20 +144,49 @@ class Trainer:
                 **env_common,
             )
 
-        # Observations: ground-truth vector or frozen-VAE latent.
+        # Observations: ground-truth vector, frozen-VAE latent, or pixels.
+        self.obs_mode = settings.obs or (
+            "latent" if settings.vae_model else "vector"
+        )
+        if self.obs_mode not in ("vector", "latent", "pixels"):
+            raise ValueError(f"unknown obs mode {self.obs_mode!r}")
+        if self.obs_mode == "latent" and not settings.vae_model:
+            raise ValueError("--obs latent requires --vae_model")
         self.latent_obs = None
         self.vae_variables = None
-        if settings.vae_model:
+        self.pix = None
+        if self.obs_mode == "pixels":
+            from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+            from carla_ppo_tpu.training import pixels as pixels_mod
+
+            self._pixels = pixels_mod
+            self.pix = pixels_mod.PixelConfig(vae_scale=settings.vae_scale)
+            self.model = PixelActorCritic(initial_std=config.initial_std)
+            rng = jax.random.PRNGKey(settings.seed)
+            self.train_state = pixels_mod.create_pixel_train_state(
+                self.model, config, rng, self.pix
+            )
+            self.env_states = ppo.init_env_batch(
+                self.env_params, config.num_envs, rng, env_kind=config.env_kind
+            )
+        elif self.obs_mode == "latent":
             from carla_ppo_tpu.models import vae_common
 
             # policy_dtype doubles as the compute dtype of the frozen VAE
             # encoder in the rollout (one precision knob for the whole
-            # inference stack; checkpoints stay float32 either way).
+            # inference stack; checkpoints stay float32 either way). The
+            # encoder only ever runs in the rollout, so "mixed" puts it in
+            # bfloat16 with the behavior policy.
+            vae_dtype = (
+                jnp.bfloat16
+                if settings.policy_dtype == "mixed"
+                else jnp.dtype(settings.policy_dtype)
+            )
             vae, vae_vars = vae_common.load_vae(
                 settings.vae_model,
                 settings.vae_z_dim,
                 settings.vae_model_type,
-                dtype=jnp.dtype(settings.policy_dtype),
+                dtype=vae_dtype,
             )
             self.latent_obs = ppo.LatentObs(vae_model=vae, source=settings.vae_source)
             self.vae_variables = vae_vars
@@ -148,15 +194,25 @@ class Trainer:
         else:
             obs_dim = vector_obs_dim()
 
-        self.model = ActorCritic(
-            initial_std=config.initial_std,
-            dtype=jnp.dtype(settings.policy_dtype),
-        )
-        rng = jax.random.PRNGKey(settings.seed)
-        self.train_state = ppo.create_train_state(self.model, config, obs_dim, rng)
-        self.env_states = ppo.init_env_batch(
-            self.env_params, config.num_envs, rng, env_kind=config.env_kind
-        )
+        self.rollout_model = None
+        if self.obs_mode != "pixels":
+            mixed = settings.policy_dtype == "mixed"
+            update_dtype = jnp.float32 if mixed else jnp.dtype(settings.policy_dtype)
+            self.model = ActorCritic(
+                initial_std=config.initial_std, dtype=update_dtype
+            )
+            if mixed:
+                # Behavior-policy twin: same params, bfloat16 trunk compute.
+                self.rollout_model = ActorCritic(
+                    initial_std=config.initial_std, dtype=jnp.bfloat16
+                )
+            rng = jax.random.PRNGKey(settings.seed)
+            self.train_state = ppo.create_train_state(
+                self.model, config, obs_dim, rng
+            )
+            self.env_states = ppo.init_env_batch(
+                self.env_params, config.num_envs, rng, env_kind=config.env_kind
+            )
 
         # Device mesh: data-parallel sharding of the env batch over chips.
         self.mesh = None
@@ -174,14 +230,20 @@ class Trainer:
                 )
             self.mesh = make_mesh(n_dev)
             self._train_dp = train_dp
-            self._dp_iteration = train_dp.make_dp_train_iteration(
-                self.mesh,
-                self.model,
-                config,
-                self.env_params,
-                latent_obs=self.latent_obs,
-                vae_variables=self.vae_variables,
-            )
+            if self.obs_mode == "pixels":
+                self._dp_iteration = train_dp.make_dp_pixel_train_iteration(
+                    self.mesh, self.model, config, self.env_params, pix=self.pix
+                )
+            else:
+                self._dp_iteration = train_dp.make_dp_train_iteration(
+                    self.mesh,
+                    self.model,
+                    config,
+                    self.env_params,
+                    latent_obs=self.latent_obs,
+                    vae_variables=self.vae_variables,
+                    rollout_model=self.rollout_model,
+                )
             self.env_states = train_dp.shard_env_batch(self.env_states, self.mesh)
             self.train_state = train_dp.replicate(self.train_state, self.mesh)
 
@@ -205,6 +267,21 @@ class Trainer:
                 self.train_state = self._train_dp.replicate(
                     self.train_state, self.mesh
                 )
+        elif self.obs_mode == "pixels" and settings.warm_start_vae:
+            from carla_ppo_tpu.models import vae_common
+
+            _, vae_vars = vae_common.load_vae(settings.warm_start_vae)
+            self.train_state = self._pixels.warm_start_from_vae(
+                self.train_state, vae_vars
+            )
+            if self.mesh is not None:
+                self.train_state = self._train_dp.replicate(
+                    self.train_state, self.mesh
+                )
+            print(
+                f"warm-started perception from {settings.warm_start_vae}",
+                flush=True,
+            )
 
         self.writer = MetricsWriter(self.log_dir)
         hparams = {**dataclasses.asdict(settings), **dataclasses.asdict(config)}
@@ -223,17 +300,29 @@ class Trainer:
         # would score every eval on the same spawn draw and best-checkpoint
         # selection would overfit to it.
         self._eval_rng, eval_key = jax.random.split(self._eval_rng)
-        metrics = ppo.evaluate(
-            self.train_state.params,
-            self.env_params,
-            self.model,
-            eval_key,
-            num_envs=self.settings.eval_envs,
-            max_steps=self.settings.eval_max_steps,
-            config=self.config,
-            latent_obs=self.latent_obs,
-            vae_variables=self.vae_variables,
-        )
+        if self.obs_mode == "pixels":
+            metrics = self._pixels.evaluate(
+                self.train_state.params,
+                self.env_params,
+                self.model,
+                eval_key,
+                num_envs=self.settings.eval_envs,
+                max_steps=self.settings.eval_max_steps,
+                config=self.config,
+                pix=self.pix,
+            )
+        else:
+            metrics = ppo.evaluate(
+                self.train_state.params,
+                self.env_params,
+                self.model,
+                eval_key,
+                num_envs=self.settings.eval_envs,
+                max_steps=self.settings.eval_max_steps,
+                config=self.config,
+                latent_obs=self.latent_obs,
+                vae_variables=self.vae_variables,
+            )
         # Expand array-valued metrics (e.g. eval/laps_per_track for lap_bank)
         # into one scalar per element so the writer sees flat scalars.
         flat: Dict[str, float] = {}
@@ -274,6 +363,33 @@ class Trainer:
         model, params = self.model, self.train_state.params
         latent = self.latent_obs
         vae_vars = self.vae_variables
+
+        if self.obs_mode == "pixels":
+            from carla_ppo_tpu.envs.observations import measurements as measure_fn
+            from carla_ppo_tpu.ops import rasterizer
+
+            pix = self.pix
+
+            @jax.jit
+            def predict_px(state, env_params):
+                cls = rasterizer.render_semantic(state, env_params, pix.cam)
+                f = cls.astype(jnp.float32)[None, ..., None] / 12.0
+                meas = measure_fn(state)[None]
+                mean, _, value = model.apply(
+                    params, f, meas, method=model.policy_value
+                )
+                return mean[0], value[0]
+
+            def fn(env):
+                p = env.params
+                if self.config.env_kind == "route":
+                    p = p.replace(
+                        track=route_env.route_track(p.track, env.state.route_id)
+                    )
+                a, v = predict_px(env.state, p)
+                return np.asarray(a), float(v)
+
+            return fn
 
         if latent is None:
             from carla_ppo_tpu.envs import lap_env as le
@@ -357,6 +473,15 @@ class Trainer:
                 new_state, new_envs, m = self._dp_iteration(
                     self.train_state, self.env_states
                 )
+            elif self.obs_mode == "pixels":
+                new_state, new_envs, m = self._pixels.pixel_train_iteration(
+                    self.train_state,
+                    self.env_states,
+                    self.env_params,
+                    self.model,
+                    self.config,
+                    self.pix,
+                )
             else:
                 new_state, new_envs, m = ppo.train_iteration(
                     self.train_state,
@@ -366,6 +491,7 @@ class Trainer:
                     self.config,
                     latent_obs=self.latent_obs,
                     vae_variables=self.vae_variables,
+                    rollout_model=self.rollout_model,
                 )
             metrics = {k: float(v) for k, v in m.items()}
 

@@ -23,13 +23,20 @@ import optax
 from flax import struct
 from jax import Array
 
-from carla_ppo_tpu.envs import lap_env, route_env
+from carla_ppo_tpu.envs import lap_bank_env, lap_env, route_env
 from carla_ppo_tpu.envs.types import EnvParams, EnvState
 from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
 from carla_ppo_tpu.models.policy import gaussian_entropy, gaussian_log_prob
 from carla_ppo_tpu.models.vae import vae_loss
 from carla_ppo_tpu.ops import gae, rasterizer
-from carla_ppo_tpu.training.ppo import PPOConfig, TrainState, make_optimizer
+from carla_ppo_tpu.training.ppo import (
+    PPOConfig,
+    TrainState,
+    make_lr_schedule,
+    schedule_value,
+)
+
+_ENVS = {"lap": lap_env, "route": route_env, "lap_bank": lap_bank_env}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,12 +64,7 @@ def make_pixel_optimizer(config: PPOConfig, pix: PixelConfig):
     each with its own gradient-norm clip, sharing the adam schedule."""
     import optax as _optax
 
-    schedule = _optax.exponential_decay(
-        init_value=config.learning_rate,
-        transition_steps=config.updates_per_iteration,
-        decay_rate=config.lr_decay,
-        staircase=True,
-    )
+    schedule = make_lr_schedule(config)
 
     def group_tx(clip_norm):
         clip = clip_norm if clip_norm > 0 else 1e9
@@ -110,8 +112,10 @@ def _render_and_measure(
 
     def per_env(s):
         p = env_params
-        if env_kind == "route":
-            p = p.replace(track=route_env.route_track(p.track, s.route_id))
+        if env_kind in ("route", "lap_bank"):
+            # Banked tracks: slice this env's track before rendering
+            # (route_id doubles as the lap_bank track id).
+            p = p.replace(track=jax.tree.map(lambda x: x[s.route_id], p.track))
         cls = rasterizer.render_semantic(s, p, cam)
         return cls.astype(jnp.uint8), measure_fn(s)
 
@@ -127,7 +131,7 @@ def pixel_rollout(
     config: PPOConfig,
     pix: PixelConfig,
 ):
-    env = {"lap": lap_env, "route": route_env}[config.env_kind]
+    env = _ENVS[config.env_kind]
 
     frames0, meas0 = _render_and_measure(
         env_states, env_params, pix.cam, config.env_kind
@@ -182,13 +186,17 @@ def pixel_loss(
     config: PPOConfig,
     pix: PixelConfig,
     rng: Array,
+    entropy_scale: Array | None = None,
 ) -> Tuple[Array, Dict[str, Array]]:
+    if entropy_scale is None:
+        entropy_scale = jnp.float32(config.entropy_scale)
     frames = batch["frames"].astype(jnp.float32)[..., None] / 12.0
     mean, std, value, aux = model.apply(
         params, frames, batch["measurements"], rng
     )
     logp = gaussian_log_prob(batch["actions"], mean, std)
-    ratio = jnp.exp(logp - batch["log_probs"])
+    log_ratio = logp - batch["log_probs"]
+    ratio = jnp.exp(log_ratio)
     adv = batch["advantages"]
     policy_loss = jnp.mean(
         jnp.minimum(
@@ -197,7 +205,7 @@ def pixel_loss(
         )
     )
     value_loss = jnp.mean((value - batch["returns"]) ** 2) * config.value_scale
-    entropy_loss = jnp.mean(gaussian_entropy(std)) * config.entropy_scale
+    entropy_loss = jnp.mean(gaussian_entropy(std)) * entropy_scale
     ppo_total = -policy_loss + value_loss - entropy_loss
 
     metrics = {
@@ -205,6 +213,13 @@ def pixel_loss(
         "train_loss/value": value_loss,
         "train_loss/entropy": entropy_loss,
         "train/prob_ratio": jnp.mean(ratio),
+        # Collapse diagnostics (VERDICT round-2 item 2): track update health
+        # so a late-training failure leaves a mechanism trace in TB.
+        "train/approx_kl": jnp.mean(ratio - 1.0 - log_ratio),
+        "train/ratio_max": jnp.max(ratio),
+        "train/value_mean": jnp.mean(value),
+        "train/value_abs_max": jnp.max(jnp.abs(value)),
+        "train/action_std_min": jnp.min(std),
     }
 
     total = ppo_total
@@ -285,6 +300,9 @@ def pixel_train_iteration_core(
         perm_size = n
 
     tx = make_pixel_optimizer(config, pix)
+    ent_scale = schedule_value(
+        config.entropy_schedule, config.entropy_scale, train_state.iteration
+    )
 
     def minibatch_step(carry, xs):
         params, opt_state = carry
@@ -296,11 +314,20 @@ def pixel_train_iteration_core(
         else:
             batch = jax.tree.map(lambda x: x[idx], data)
         (_, metrics), grads = jax.value_and_grad(pixel_loss, has_aux=True)(
-            params, model, batch, config, pix, key
+            params, model, batch, config, pix, key, ent_scale
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
+        # Pre-clip per-group gradient norms (collapse diagnostics: which
+        # group's gradients spike when training degrades?).
+        gp = grads["params"]
+        metrics["train_grad/policy_norm"] = optax.global_norm(
+            [v for k, v in gp.items() if k in _POLICY_TOPLEVEL]
+        )
+        metrics["train_grad/encoder_norm"] = optax.global_norm(
+            [v for k, v in gp.items() if k not in _POLICY_TOPLEVEL]
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), metrics
@@ -328,6 +355,12 @@ def pixel_train_iteration_core(
             episodic["train/episodes_finished"] * jax.lax.axis_size(axis_name)
         )
     metrics.update(episodic)
+    metrics["train/entropy_scale"] = ent_scale
+    metrics["train/learning_rate"] = schedule_value(
+        config.lr_schedule, config.learning_rate, train_state.iteration
+    ) if config.lr_schedule else jnp.float32(
+        config.learning_rate
+    ) * config.lr_decay ** train_state.iteration
 
     n_global = n if axis_name is None else n * jax.lax.axis_size(axis_name)
     new_state = TrainState(
@@ -464,11 +497,20 @@ def evaluate(
     per-budget recompiles), exits early once every env finished, and latches
     the first terminal snapshot per env.
     """
-    env = {"lap": lap_env, "route": route_env}[config.env_kind]
+    env = _ENVS[config.env_kind]
     keys = jax.random.split(rng, num_envs)
-    states = jax.vmap(lambda k: env.reset(env_params, k, is_training=False))(
-        keys
-    )
+    if config.env_kind == "lap_bank":
+        # Round-robin track assignment so one eval covers the bank
+        # (mirrors ppo.evaluate).
+        n_tracks = env_params.track.pos.shape[0]
+        track_ids = jnp.arange(num_envs, dtype=jnp.int32) % n_tracks
+        states = jax.vmap(
+            lambda k, t: env.reset(env_params, k, is_training=False, track_id=t)
+        )(keys, track_ids)
+    else:
+        states = jax.vmap(
+            lambda k: env.reset(env_params, k, is_training=False)
+        )(keys)
     frames0, meas0 = _render_and_measure(
         states, env_params, pix.cam, config.env_kind
     )

@@ -70,6 +70,16 @@ class PPOConfig:
     env_kind: str = "lap"
     max_grad_norm: float = 0.0  # 0 disables clipping (reference has none)
     use_associative_gae: bool = False
+    # Piecewise-constant schedules keyed by ITERATION: ((start, value), ...)
+    # pairs sorted ascending by start (the first pair should start at 0).
+    # Empty = use learning_rate/lr_decay and entropy_scale as before. These
+    # encode multi-phase recipes (e.g. the pixel config's "lr 3e-4, then
+    # 1e-4 + entropy 0.002 from iteration 800" - RESULTS_round2.md) so a
+    # solve is ONE CLI invocation with no mid-run hand-editing; the phase
+    # switch happens inside the compiled program / optimizer schedule and
+    # survives checkpoint resume (boundaries count optimizer updates).
+    lr_schedule: Tuple[Tuple[int, float], ...] = ()
+    entropy_schedule: Tuple[Tuple[int, float], ...] = ()
     # Minibatch shuffling axis. "env" (default) permutes the env axis and
     # keeps each env's horizon contiguous: the gather moves [horizon, D]
     # blocks instead of n scattered rows, which is 2.7x faster at 8192 envs
@@ -163,13 +173,38 @@ class Trajectory:
     dones: Array  # [T, B]
 
 
-def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
-    schedule = optax.exponential_decay(
+def schedule_value(
+    schedule: Tuple[Tuple[int, float], ...], default: float, iteration: Array
+) -> Array:
+    """Piecewise-constant value of `schedule` at `iteration` (traced scalar);
+    falls back to `default` when the schedule is empty."""
+    if not schedule:
+        return jnp.float32(default)
+    val = jnp.float32(schedule[0][1])
+    for start, v in schedule[1:]:
+        val = jnp.where(iteration >= start, jnp.float32(v), val)
+    return val
+
+
+def make_lr_schedule(config: PPOConfig) -> optax.Schedule:
+    """Optimizer lr by UPDATE count: the piecewise `lr_schedule` when set
+    (iteration boundaries x updates_per_iteration), else the reference's
+    per-iteration exponential decay (ppo.py:142)."""
+    if config.lr_schedule:
+        return optax.join_schedules(
+            [optax.constant_schedule(v) for _, v in config.lr_schedule],
+            [int(s) * config.updates_per_iteration for s, _ in config.lr_schedule[1:]],
+        )
+    return optax.exponential_decay(
         init_value=config.learning_rate,
         transition_steps=config.updates_per_iteration,
         decay_rate=config.lr_decay,
         staircase=True,
     )
+
+
+def make_optimizer(config: PPOConfig) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(config)
     # Always chain the clip (a no-op at a huge threshold when disabled) so the
     # optimizer-state pytree structure is invariant to max_grad_norm - orbax
     # restore templates built from a default config must match any checkpoint.
@@ -286,11 +321,19 @@ def ppo_loss(
     model: ActorCritic,
     batch: Dict[str, Array],
     config: PPOConfig,
+    entropy_scale: Array | None = None,
 ) -> Tuple[Array, Dict[str, Array]]:
-    """Clipped-surrogate loss on a flat minibatch (reference: ppo.py:115-132)."""
+    """Clipped-surrogate loss on a flat minibatch (reference: ppo.py:115-132).
+
+    `entropy_scale` may be a traced scalar (the entropy_schedule value at the
+    current iteration); None uses the static config value.
+    """
+    if entropy_scale is None:
+        entropy_scale = jnp.float32(config.entropy_scale)
     mean, std, value = model.apply(params, batch["obs"])
     logp = gaussian_log_prob(batch["actions"], mean, std)
-    ratio = jnp.exp(logp - batch["log_probs"])
+    log_ratio = logp - batch["log_probs"]
+    ratio = jnp.exp(log_ratio)
 
     adv = batch["advantages"]
     policy_loss = jnp.mean(
@@ -301,7 +344,7 @@ def ppo_loss(
         )
     )
     value_loss = jnp.mean((value - batch["returns"]) ** 2) * config.value_scale
-    entropy_loss = jnp.mean(gaussian_entropy(std)) * config.entropy_scale
+    entropy_loss = jnp.mean(gaussian_entropy(std)) * entropy_scale
     loss = -policy_loss + value_loss - entropy_loss
 
     metrics = {
@@ -310,6 +353,10 @@ def ppo_loss(
         "train_loss/entropy": entropy_loss,
         "train_loss/loss": loss,
         "train/prob_ratio": jnp.mean(ratio),
+        # Update-health diagnostics (k3 estimator for KL(old||new); see
+        # RESULTS_round2.md pixel-collapse investigation).
+        "train/approx_kl": jnp.mean(ratio - 1.0 - log_ratio),
+        "train/ratio_max": jnp.max(ratio),
         "train/returns": jnp.mean(batch["returns"]),
         "train/advantage": jnp.mean(adv),
         "train_actor/action_0/mean": jnp.mean(mean[:, 0]),
@@ -331,6 +378,7 @@ def train_iteration_core(
     axis_name: str | None = None,
     latent_obs: Any = None,
     vae_variables: Any = None,
+    rollout_model: ActorCritic | None = None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """One fused PPO iteration: rollout(horizon) -> GAE -> epochs of updates.
 
@@ -338,6 +386,13 @@ def train_iteration_core(
     batch is the local shard: gradients and statistics are psum'd over the
     axis so every device applies identical updates (the TPU-native analog of
     the all-reduce the reference never had; SURVEY.md section 2.3).
+
+    `rollout_model` optionally substitutes a different COMPUTE configuration
+    of the same parameter tree for the rollout (the "mixed" precision
+    recipe: a bfloat16-trunk twin acts as the behavior policy while the
+    update path stays float32). This is exact importance sampling, not an
+    approximation - the stored log-probs are the true behavior-policy
+    log-probs of the actions taken, and PPO's ratio corrects the rest.
     """
     rng, roll_key, perm_key = jax.random.split(train_state.rng, 3)
     if axis_name is not None:
@@ -346,7 +401,7 @@ def train_iteration_core(
         roll_key = jax.random.fold_in(roll_key, jax.lax.axis_index(axis_name))
 
     env_states, traj, bootstrap, episodic = rollout(
-        model,
+        rollout_model if rollout_model is not None else model,
         train_state.params,
         env_states,
         env_params,
@@ -420,6 +475,9 @@ def train_iteration_core(
         perm_size = n
 
     tx = make_optimizer(config)
+    ent_scale = schedule_value(
+        config.entropy_schedule, config.entropy_scale, train_state.iteration
+    )
 
     def minibatch_step(carry, idx):
         params, opt_state = carry
@@ -431,7 +489,7 @@ def train_iteration_core(
         else:
             batch = jax.tree.map(lambda x: x[idx], data)
         (_, metrics), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
-            params, model, batch, config
+            params, model, batch, config, ent_scale
         )
         if axis_name is not None:
             # Data-parallel all-reduce over ICI (replaces nothing in the
@@ -463,8 +521,14 @@ def train_iteration_core(
             episodic["train/episodes_finished"] * jax.lax.axis_size(axis_name)
         )
     metrics.update(episodic)
-    lr = config.learning_rate * config.lr_decay ** train_state.iteration
+    if config.lr_schedule:
+        lr = schedule_value(
+            config.lr_schedule, config.learning_rate, train_state.iteration
+        )
+    else:
+        lr = config.learning_rate * config.lr_decay ** train_state.iteration
     metrics["train/learning_rate"] = lr
+    metrics["train/entropy_scale"] = ent_scale
 
     n_global = n if axis_name is None else n * jax.lax.axis_size(axis_name)
     new_state = TrainState(
@@ -481,7 +545,9 @@ def train_iteration_core(
     return new_state, env_states, metrics
 
 
-@partial(jax.jit, static_argnames=("model", "config", "latent_obs"))
+@partial(
+    jax.jit, static_argnames=("model", "config", "latent_obs", "rollout_model")
+)
 def train_iteration(
     train_state: TrainState,
     env_states: EnvState,
@@ -490,11 +556,13 @@ def train_iteration(
     config: PPOConfig,
     latent_obs: Any = None,
     vae_variables: Any = None,
+    rollout_model: ActorCritic | None = None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """Single-device fused PPO iteration (see train_iteration_core)."""
     return train_iteration_core(
         train_state, env_states, env_params, model, config, axis_name=None,
         latent_obs=latent_obs, vae_variables=vae_variables,
+        rollout_model=rollout_model,
     )
 
 

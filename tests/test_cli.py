@@ -121,3 +121,36 @@ def test_run_eval_parser_round2_knobs():
                     "--no_video",
                 ]
             )
+
+
+def test_train_parser_round3_knobs():
+    """Round-3 knobs: --obs pixels, schedules, warm start."""
+    from carla_ppo_tpu.cli.train import build_parser, schedule_flag
+
+    p = build_parser()
+    args = p.parse_args(["--model_name", "m"])
+    assert args.obs is None
+    assert args.lr_schedule == ()
+    assert args.entropy_schedule == ()
+    assert args.warm_start_vae is None
+    assert args.vae_scale == 1e-4
+
+    args = p.parse_args(
+        [
+            "--model_name", "m",
+            "--obs", "pixels",
+            "--lr_schedule", "0:3e-4,800:1e-4",
+            "--entropy_schedule", "0:0.003,800:0.002",
+            "--warm_start_vae", "vae/models/x",
+            "--vae_scale", "2e-4",
+        ]
+    )
+    assert args.obs == "pixels"
+    assert args.lr_schedule == ((0, 3e-4), (800, 1e-4))
+    assert args.entropy_schedule == ((0, 0.003), (800, 0.002))
+    assert args.warm_start_vae == "vae/models/x"
+    assert args.vae_scale == 2e-4
+    # Unsorted input is sorted by start iteration.
+    assert schedule_flag("800:1e-4,0:3e-4") == ((0, 3e-4), (800, 1e-4))
+    with pytest.raises(SystemExit):
+        p.parse_args(["--model_name", "m", "--obs", "frames"])

@@ -288,3 +288,27 @@ def test_grad_clipping_bounds_update(lap_params, model):
         )
     )
     assert clipped < free
+
+
+def test_mixed_precision_rollout_model(lap_params, model, small_config):
+    """policy_dtype 'mixed': a bfloat16 behavior-policy twin drives the
+    rollout while the f32 model takes the updates. The stored log-probs are
+    the bf16 net's, so the first-epoch ratios sit near (not exactly at) 1 -
+    exact importance sampling over the precision gap."""
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+    from carla_ppo_tpu.models.policy import ActorCritic
+
+    rollout_model = ActorCritic(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    ts = ppo_mod.create_train_state(model, small_config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, small_config.num_envs, rng)
+
+    ts2, envs2, metrics = ppo_mod.train_iteration(
+        ts, envs, lap_params, model, small_config,
+        rollout_model=rollout_model,
+    )
+    assert int(ts2.iteration) == 1
+    for k, v in metrics.items():
+        assert bool(jnp.isfinite(v)), f"metric {k} not finite"
+    # The precision gap is small: mean ratio within a few percent of 1.
+    assert abs(float(metrics["train/prob_ratio"]) - 1.0) < 0.05

@@ -107,3 +107,77 @@ def test_nan_guard_rolls_back(small, monkeypatch):
     assert np.isfinite(np.asarray(leaf)).all()
     assert trainer._nan_events == 1
     trainer.close()
+
+
+def test_pixel_trainer_end_to_end(tmp_path):
+    """--obs pixels through the product Trainer: train, eval, checkpoint,
+    resume (VERDICT round-2 item 1: pixels as a first-class driver path)."""
+    settings = TrainerSettings(
+        model_name="px",
+        models_root=str(tmp_path),
+        num_iterations=2,
+        eval_interval=1,
+        eval_envs=2,
+        eval_max_steps=4,
+        checkpoint_interval=1,
+        obs="pixels",
+    )
+    config = ppo.PPOConfig(horizon=4, num_envs=4, num_minibatches=2)
+    t = Trainer(settings, config)
+    assert t.obs_mode == "pixels"
+    metrics = t.train()
+    assert t.iteration == 2
+    assert np.isfinite(metrics["train_loss/loss"])
+    assert "train_loss/vae_recon" in metrics  # joint-VAE aux loss active
+    assert "train_grad/encoder_norm" in metrics  # collapse diagnostics
+    t.close()
+
+    t2 = Trainer(settings, config)
+    assert t2.iteration == 2  # resumed from autosave
+    t2.close()
+
+
+def test_pixel_trainer_dp(tmp_path):
+    """--obs pixels --num_devices 8: the dp pixel iteration drives through
+    the Trainer on the virtual mesh."""
+    settings = TrainerSettings(
+        model_name="px_dp",
+        models_root=str(tmp_path),
+        num_iterations=1,
+        eval_interval=100,
+        checkpoint_interval=0,
+        num_devices=8,
+        obs="pixels",
+    )
+    config = ppo.PPOConfig(horizon=2, num_envs=8, num_minibatches=1,
+                           num_epochs=1)
+    t = Trainer(settings, config)
+    metrics = t.train()
+    assert np.isfinite(metrics["train_loss/loss"])
+    t.close()
+
+
+def test_schedules_change_phase(tmp_path):
+    """lr/entropy schedules switch at their iteration boundaries inside the
+    compiled program (VERDICT round-2 item 8: turnkey multi-phase recipes)."""
+    settings = TrainerSettings(
+        model_name="sched",
+        models_root=str(tmp_path),
+        num_iterations=2,
+        eval_interval=100,
+        checkpoint_interval=0,
+    )
+    config = ppo.PPOConfig(
+        horizon=4, num_envs=4, num_minibatches=2,
+        lr_schedule=((0, 3e-4), (2, 1e-4)),
+        entropy_schedule=((0, 0.01), (2, 0.002)),
+    )
+    t = Trainer(settings, config)
+    t.train(num_iterations=1)
+    m1 = t.train(num_iterations=2)
+    assert m1["train/learning_rate"] == pytest.approx(3e-4)
+    assert m1["train/entropy_scale"] == pytest.approx(0.01)
+    m2 = t.train(num_iterations=3)
+    assert m2["train/learning_rate"] == pytest.approx(1e-4)
+    assert m2["train/entropy_scale"] == pytest.approx(0.002)
+    t.close()
