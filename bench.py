@@ -14,8 +14,15 @@ PINNED and stated here - perception numbers are measured on the RICH
 13-class scene (props=True, the scene the shipped agents train on), the
 render benchmark times the JITTED production program (the unjitted vmap the
 round-2 bench timed paid per-op dispatch on the remote axon path), and every
-number is the MEDIAN of `TRIALS` timed repeats. README performance claims
-must match this file's driver-captured output.
+number is the MEDIAN of `TRIALS` timed repeats.
+
+Timing methodology for the axon remote platform: `block_until_ready` there
+costs roughly a full device->host TRANSFER of the blocked buffer (measured:
+blocking the params pytree every iteration inflated a 31.5 ms iteration to
+~69 ms; a [1024,80,160] frame block added ~22 ms), so each trial times a
+CHAIN of `iters` data-dependent calls and synchronizes ONCE on a scalar
+host fetch at the end. README performance claims must match this file's
+driver-captured output.
 """
 
 from __future__ import annotations
@@ -23,6 +30,8 @@ from __future__ import annotations
 import json
 import statistics
 import time
+
+import numpy as np
 
 import jax
 
@@ -33,14 +42,17 @@ BASELINE_STEPS_PER_SEC = 30.0  # reference: one CARLA env @ 30 FPS
 TRIALS = 5
 
 
-def median_time(fn, iters: int, trials: int = TRIALS) -> float:
-    """Median across `trials` of the mean seconds/call over `iters` calls.
-    `fn` must block until its result is ready."""
+def median_time(fn, sync, iters: int, trials: int = TRIALS) -> float:
+    """Median across `trials` of the mean seconds/call over `iters` chained
+    calls of `fn`, synchronizing once per trial via `sync()` (which must
+    force completion with a small host fetch - NOT block_until_ready, see
+    module docstring)."""
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             fn()
+        sync()
         times.append((time.perf_counter() - t0) / iters)
     return statistics.median(times)
 
@@ -71,11 +83,14 @@ def main() -> None:
         state["ts"], state["envs"], _ = ppo.train_iteration(
             state["ts"], state["envs"], env_params, model, config
         )
-        jax.block_until_ready(state["ts"].params)
+
+    def vector_sync():
+        float(state["ts"].total_env_steps)  # scalar fetch forces completion
 
     vector_iter()
     vector_iter()  # warmup / compile
-    sec = median_time(vector_iter, iters=10)
+    vector_sync()
+    sec = median_time(vector_iter, vector_sync, iters=10)
     steps_per_sec = NUM_ENVS * HORIZON / sec
 
     # --- perception pipelines: PINNED to the rich 13-class scene ---
@@ -105,21 +120,30 @@ def main() -> None:
             lstate["ts"], lstate["envs"], rich_params, model_l, config,
             latent_obs=latent, vae_variables=vae_vars,
         )
-        jax.block_until_ready(lstate["ts"].params)
+
+    def latent_sync():
+        float(lstate["ts"].total_env_steps)
 
     latent_iter()  # compile
-    latent_sps = NUM_ENVS * HORIZON / median_time(latent_iter, iters=2)
+    latent_sync()
+    latent_sps = NUM_ENVS * HORIZON / median_time(latent_iter, latent_sync, iters=2)
 
     # Semantic-camera render: the jitted production program over the rich
-    # scene (the exact fn the pixel/latent rollouts fuse per step).
-    render = jax.jit(lambda s: R.render_batch(s, rich_params))
-    frames = render(lstate["envs"])
-    jax.block_until_ready(frames)
+    # scene (the exact fn the pixel/latent rollouts fuse per step). Reduce
+    # on-device so the sync fetch is a scalar, not the 50 MB frame batch.
+    render = jax.jit(
+        lambda s: R.render_batch(s, rich_params).sum(dtype=jax.numpy.int32)
+    )
+    out = {"x": render(lstate["envs"])}
+    np.asarray(out["x"])
 
     def render_once():
-        jax.block_until_ready(render(lstate["envs"]))
+        out["x"] = render(lstate["envs"])
 
-    render_ms = median_time(render_once, iters=10) * 1e3
+    def render_sync():
+        np.asarray(out["x"])
+
+    render_ms = median_time(render_once, render_sync, iters=10) * 1e3
 
     print(
         json.dumps(

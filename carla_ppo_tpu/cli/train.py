@@ -125,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_npcs", type=int, default=0,
                         help="NPC traffic vehicles per env; > 0 also enables "
                              "real collision termination")
+    parser.add_argument("--obs_fn", type=str, default="vector",
+                        choices=["vector", "vector_npc"],
+                        help="Ground-truth vector obs variant: 'vector_npc' "
+                             "appends radar-style nearest-NPC features "
+                             "(required for a blind vector agent to drive "
+                             "in traffic; the camera pipelines see NPCs "
+                             "anyway)")
     parser.add_argument("--synchronous", type=int, default=True,
                         help="Accepted for parity; the simulator is always synchronous")
     parser.add_argument("--fps", type=int, default=30)
@@ -171,6 +178,7 @@ def main(argv=None) -> None:
         num_minibatches=params["num_minibatches"],
         minibatch_axis=params["minibatch_axis"],
         env_kind=params["env"],
+        obs_fn=params["obs_fn"],
         max_grad_norm=params["max_grad_norm"],
         normalize_rewards=params["normalize_rewards"],
         lr_schedule=params["lr_schedule"],

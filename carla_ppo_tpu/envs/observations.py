@@ -90,6 +90,79 @@ def vector_obs_dim() -> int:
     return 6 + 2 * len(PREVIEW_OFFSETS)
 
 
+# Radar range for the NPC-traffic features (meters of along-track gap).
+NPC_RADAR_RANGE = 50.0
+
+
+def vector_npc_obs(state: EnvState, params: EnvParams) -> Array:
+    """`vector_obs` ++ radar-style traffic features, [obs_dim + 6] float32.
+
+    The ground-truth vector observation is blind to NPC traffic (NPCs only
+    appear in the rendered camera), so an agent trained with collision
+    termination against traffic needs these. They model a forward/rear radar
+    - the sensor a real AV stack pairs with its camera; the reference's
+    CARLA world exposes the same information through its actor list
+    (reference: CarlaEnv/agents/navigation/agent.py:129-193
+    _is_vehicle_hazard, which scans actor positions/headings directly).
+
+    Extra features (unit-scale):
+      +0: nearest-ahead NPC gap / NPC_RADAR_RANGE       (1.0 = none in range)
+      +1: its lateral offset rel. ego / max_distance    (0 when none)
+      +2: its closing speed (ego - npc) / target_speed  (0 when none)
+      +3..5: same triple for the nearest NPC behind.
+
+    Gaps are along-track (Frenet s), matching the collision test in
+    lap_env.step; on loops the gap wraps around the circuit.
+    """
+    base = vector_obs(state, params)
+    track = params.track
+    rp = params.reward
+
+    cur = wp_gather(track.pos, state.waypoint_idx, track.length, track.is_loop)
+    nxt = wp_gather(track.pos, state.waypoint_idx + 1, track.length, track.is_loop)
+    ego_lat = geometry.signed_distance_to_line(cur, nxt, state.vehicle.pos)
+
+    length_f = track.length.astype(jnp.float32)
+    ego_s = state.waypoint_idx.astype(jnp.float32)
+    active = jnp.arange(state.npc_s.shape[0]) < params.num_npcs
+    ds = state.npc_s - ego_s
+    # Wrap to the nearest representative on loops (same math as the
+    # collision test, lap_env.step).
+    ds = jnp.where(
+        track.is_loop,
+        jnp.mod(ds + length_f / 2.0, length_f) - length_f / 2.0,
+        ds,
+    )
+
+    def radar(gap: Array) -> list:
+        """gap >= 0 along one direction; inf where inactive/other side."""
+        nearest = jnp.min(jnp.where(active & (gap >= 0.0), gap, jnp.inf))
+        idx = jnp.argmin(jnp.where(active & (gap >= 0.0), gap, jnp.inf))
+        in_range = nearest < NPC_RADAR_RANGE
+        rel_lat = (state.npc_lateral[idx] - ego_lat) / rp.max_distance
+        closing = (
+            3.6 * (state.vehicle.speed - state.npc_speed[idx]) / rp.target_speed
+        )
+        return [
+            jnp.where(in_range, nearest / NPC_RADAR_RANGE, 1.0),
+            jnp.where(in_range, rel_lat, 0.0),
+            jnp.where(in_range, closing, 0.0),
+        ]
+
+    feats = radar(ds) + radar(-ds)
+    return jnp.concatenate([base, jnp.stack(feats).astype(jnp.float32)])
+
+
+def vector_npc_obs_dim() -> int:
+    return vector_obs_dim() + 6
+
+
+def obs_dim_for(obs_fn: str) -> int:
+    return {"vector": vector_obs_dim(), "vector_npc": vector_npc_obs_dim()}[
+        obs_fn
+    ]
+
+
 def measurements(state: EnvState) -> Array:
     """[steer, throttle, speed] appended to VAE latents
     (reference: vae_common.py:52-54; speed in m/s as the reference's
@@ -103,4 +176,5 @@ ObsFn = Callable[[EnvState, EnvParams], Array]
 
 encode_state_fns: Dict[str, ObsFn] = {
     "vector": vector_obs,
+    "vector_npc": vector_npc_obs,
 }

@@ -192,7 +192,9 @@ class Trainer:
             self.vae_variables = vae_vars
             obs_dim = self.latent_obs.obs_dim
         else:
-            obs_dim = vector_obs_dim()
+            from carla_ppo_tpu.envs.observations import obs_dim_for
+
+            obs_dim = obs_dim_for(config.obs_fn)
 
         self.rollout_model = None
         if self.obs_mode != "pixels":
@@ -394,9 +396,11 @@ class Trainer:
         if latent is None:
             from carla_ppo_tpu.envs import lap_env as le
 
+            obs_fn = self.config.obs_fn
+
             @jax.jit
             def predict(state, env_params):
-                obs = le.observe(state, env_params)
+                obs = le.observe(state, env_params, obs_fn)
                 mean, _, value = model.apply(params, obs[None])
                 return mean[0], value[0]
 

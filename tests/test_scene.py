@@ -126,3 +126,65 @@ def test_npcs_inert_by_default(lap_params):
     )
     s2, out = lap_env.step(s, jnp.array([0.0, 1.0]), lap_params)
     assert not bool(s2.collision)
+
+
+def test_vector_npc_obs_radar(rich_params):
+    """vector_npc: radar features report the nearest NPC ahead/behind;
+    without traffic the radar reads 'nothing in range'."""
+    from carla_ppo_tpu.envs import observations as obs_mod
+
+    s = lap_env.reset(rich_params, jax.random.PRNGKey(0))
+    ego_s = s.waypoint_idx.astype(jnp.float32)
+    # Park NPC 0 exactly 20 m ahead in-lane, slower than a moving ego;
+    # NPC 1 10 m behind, offset 1 m left.
+    s = s.replace(
+        npc_s=s.npc_s.at[0].set(ego_s + 20.0).at[1].set(ego_s - 10.0),
+        npc_lateral=s.npc_lateral.at[0].set(0.0).at[1].set(1.0),
+        npc_speed=s.npc_speed.at[0].set(0.0).at[1].set(0.0),
+    )
+    # Push the others out of radar range.
+    far = ego_s + 200.0
+    for i in range(2, s.npc_s.shape[0]):
+        s = s.replace(npc_s=s.npc_s.at[i].set(far))
+
+    obs = np.asarray(obs_mod.vector_npc_obs(s, rich_params))
+    base_dim = obs_mod.vector_obs_dim()
+    assert obs.shape == (obs_mod.vector_npc_obs_dim(),)
+    gap_ahead, lat_ahead, closing_ahead, gap_behind, lat_behind, _ = obs[base_dim:]
+    assert gap_ahead == pytest.approx(20.0 / obs_mod.NPC_RADAR_RANGE, abs=1e-5)
+    assert abs(lat_ahead) < 0.2  # in-lane, ego near center
+    assert gap_behind == pytest.approx(10.0 / obs_mod.NPC_RADAR_RANGE, abs=1e-5)
+    assert lat_behind > 0.0  # offset to the left
+
+    # No active NPCs: radar reads max-range, zero lat/closing.
+    plain = EnvParams(track=rich_params.track)
+    obs0 = np.asarray(obs_mod.vector_npc_obs(s, plain))
+    np.testing.assert_allclose(
+        obs0[base_dim:], [1.0, 0.0, 0.0, 1.0, 0.0, 0.0], atol=1e-6
+    )
+    # The base features are untouched.
+    np.testing.assert_allclose(
+        obs0[:base_dim], np.asarray(obs_mod.vector_obs(s, plain)), atol=1e-6
+    )
+
+
+def test_vector_npc_trains(rich_params):
+    """A train_iteration with obs_fn='vector_npc' runs end to end."""
+    from carla_ppo_tpu.envs.observations import obs_dim_for
+    from carla_ppo_tpu.models.policy import ActorCritic
+    from carla_ppo_tpu.training import ppo as ppo_mod
+
+    config = ppo_mod.PPOConfig(
+        horizon=4, num_envs=4, num_minibatches=2, obs_fn="vector_npc"
+    )
+    model = ActorCritic()
+    rng = jax.random.PRNGKey(0)
+    ts = ppo_mod.create_train_state(
+        model, config, obs_dim_for("vector_npc"), rng
+    )
+    envs = ppo_mod.init_env_batch(rich_params, 4, rng)
+    ts2, _, metrics = ppo_mod.train_iteration(
+        ts, envs, rich_params, model, config
+    )
+    assert int(ts2.iteration) == 1
+    assert np.isfinite(float(metrics["train_loss/loss"]))
