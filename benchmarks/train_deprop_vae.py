@@ -12,6 +12,13 @@ policy trained on it transfers across scene richness - measured: a plain
 scene latent agent collapses from 2.5 laps to ~10 m when naively fine-tuned
 on rich scenes, while de-prop latents close the gap.
 
+`--route_frames N` mixes in N pairs rendered on dual-lane ROUTE tracks
+(asymmetric widths, lane-change links, junction fillets) so the latent also
+covers the route env's geometry - the reference trains its VAE on frames
+collected while driving the same worlds its agents later see
+(reference: vae/train_vae.py:38-52 + collect_data drives); a lap-track-only
+dataset leaves the encoder blind to oncoming-lane scenery.
+
 Usage: python benchmarks/train_deprop_vae.py [--frames 10000]
 """
 
@@ -32,6 +39,11 @@ import jax.numpy as jnp
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=10000)
+    parser.add_argument("--route_frames", type=int, default=0,
+                        help="extra pairs rendered on dual-lane route tracks")
+    parser.add_argument("--num_routes", type=int, default=32)
+    parser.add_argument("--name_suffix", type=str, default="",
+                        help="model-dir disambiguator (e.g. '_routes')")
     parser.add_argument("--batch", type=int, default=512, help="render batch")
     parser.add_argument("--scramble_steps", type=int, default=48)
     parser.add_argument("--num_tracks", type=int, default=4)
@@ -41,7 +53,7 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
-    from carla_ppo_tpu.envs import lap_env, track as track_mod
+    from carla_ppo_tpu.envs import lap_env, route_env, route_planner, track as track_mod
     from carla_ppo_tpu.envs.types import EnvParams
     from carla_ppo_tpu.models import vae_common
     from carla_ppo_tpu.ops import rasterizer as R
@@ -93,12 +105,67 @@ def main() -> None:
             n += B
         print(f"track {t}: {n} pairs", flush=True)
 
-    source = (np.concatenate(srcs)[: args.frames, ..., None] / 12.0).astype(
-        np.float32
-    )
-    target = (np.concatenate(tgts)[: args.frames, ..., None] / 12.0).astype(
-        np.float32
-    )
+    srcs = [np.concatenate(srcs)[: args.frames]]
+    tgts = [np.concatenate(tgts)[: args.frames]]
+
+    if args.route_frames:
+        # Dual-lane route-track pairs: same route bank baked twice (props
+        # are dressed AFTER route geometry, so rich/plain banks share every
+        # waypoint) and each env's frame rendered against its own route.
+        town = route_planner.make_town(seed=args.seed)
+        bank_rich = route_planner.make_route_bank(
+            town, n_routes=args.num_routes, seed=args.seed, props=True
+        )
+        bank_plain = route_planner.make_route_bank(
+            town, n_routes=args.num_routes, seed=args.seed, props=False
+        )
+        rich = route_env.route_env_params(
+            bank_rich, num_npcs=jnp.int32(args.num_npcs)
+        )
+        plain = route_env.route_env_params(bank_plain)
+        states = ppo.init_env_batch(
+            rich, B, jax.random.fold_in(rng, 7777), env_kind="route"
+        )
+
+        @jax.jit
+        def scramble_routes(states, key):
+            def body(s, k):
+                a = jax.random.uniform(
+                    k, (B, 2),
+                    minval=jnp.array([-1.0, 0.0]), maxval=jnp.array([1.0, 1.0]),
+                )
+                s, _ = jax.vmap(
+                    lambda st, ac: route_env.autoreset_step(st, ac, rich, "vector")
+                )(s, a)
+                return s, None
+            states, _ = jax.lax.scan(
+                body, states, jax.random.split(key, args.scramble_steps)
+            )
+            return states
+
+        def _render_banked(s, params):
+            p = params.replace(
+                track=route_env.route_track(params.track, s.route_id)
+            )
+            return R.render_semantic(s, p)
+
+        render_r = jax.jit(jax.vmap(_render_banked, in_axes=(0, None)))
+
+        key = jax.random.fold_in(rng, 8888)
+        route_srcs, route_tgts = [], []
+        n = 0
+        while n < args.route_frames:
+            key, k = jax.random.split(key)
+            states = scramble_routes(states, k)
+            route_srcs.append(np.asarray(render_r(states, rich), np.uint8))
+            route_tgts.append(np.asarray(render_r(states, plain), np.uint8))
+            n += B
+        print(f"route tracks: {n} pairs", flush=True)
+        srcs.append(np.concatenate(route_srcs)[: args.route_frames])
+        tgts.append(np.concatenate(route_tgts)[: args.route_frames])
+
+    source = (np.concatenate(srcs)[..., None] / 12.0).astype(np.float32)
+    target = (np.concatenate(tgts)[..., None] / 12.0).astype(np.float32)
     print(f"dataset: source {source.shape} target {target.shape}", flush=True)
 
     train_src, val_src = datasets.train_val_split(source, seed=args.seed)
@@ -113,7 +180,7 @@ def main() -> None:
     name = vae_common.model_dir_name(
         "seg", config.loss_type, config.model_type, config.z_dim, config.beta,
         config.kl_tolerance, source_depth=1,
-    ).replace("_data", "_deprop_data")
+    ).replace("_data", f"_deprop{args.name_suffix}_data")
     model_dir = os.path.join(args.models_dir, name)
     ckpt = Checkpointer(os.path.join(model_dir, "checkpoints"))
 
