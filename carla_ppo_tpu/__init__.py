@@ -23,6 +23,13 @@ Reference layout parity (see SURVEY.md):
 
 __version__ = "0.1.0"
 
+# The remote-compile TPU path pays minutes-per-process for big programs;
+# the persistent cache replays them in <1 s (see utils/compile_cache.py).
+# Opt out with CARLA_PPO_CACHE_DIR=0.
+from carla_ppo_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()
+
 from carla_ppo_tpu.envs.types import (  # noqa: F401
     EnvParams,
     EnvState,

@@ -159,6 +159,24 @@ def main(argv=None) -> None:
     params.pop("start_carla", None)
     params.pop("synchronous", None)
 
+    # Interactive continue/restart on an existing model dir (reference:
+    # train.py:97-105 asks before appending to existing logs). Only when a
+    # human is attached - non-TTY (scripts, drivers, tests) keeps the
+    # auto-resume default, which is the behavior every recipe relies on.
+    import os
+    import sys
+
+    model_dir = os.path.join("models", params["model_name"])
+    if not restart and os.path.isdir(model_dir) and sys.stdin.isatty():
+        answer = input(
+            f"Model dir {model_dir} exists. [C]ontinue training / "
+            f"[r]estart from scratch / [a]bort? "
+        ).strip().lower()
+        if answer.startswith("r"):
+            restart = True
+        elif answer.startswith("a"):
+            sys.exit(0)
+
     print("Training parameters:")
     for k, v in params.items():
         print(f"  {k}: {v}")

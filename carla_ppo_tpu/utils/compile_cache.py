@@ -1,0 +1,49 @@
+"""Persistent XLA compilation cache for the slow remote-compile path.
+
+The axon TPU platform compiles through a remote HTTP hop; big scans take
+minutes PER PROCESS, so every CLI invocation, bench run, and eval chunk
+used to pay full price (round-2 "Known quirks": first eval ~minutes).
+JAX's persistent cache works through this path (measured round 3: a 233 s
+compile replayed in 0.24 s from a second process), so every entry point
+enables it here. The reference has no analog - TF1 sessions rebuild their
+graph per process and CARLA itself dwarfs compile time; for this framework
+compile latency IS the startup cost, making the cache part of the product.
+
+Env overrides: CARLA_PPO_CACHE_DIR picks the location (default
+<repo>/.jax_cache); CARLA_PPO_CACHE_DIR=0 disables.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled = False
+
+
+def enable(cache_dir: str | None = None) -> str | None:
+    """Idempotently switch on the persistent compilation cache.
+
+    Must run before the first jit compilation to benefit it; safe any time.
+    Returns the cache dir in effect (None if disabled).
+    """
+    global _enabled
+    import jax
+
+    env = os.environ.get("CARLA_PPO_CACHE_DIR")
+    if env == "0":
+        return None
+    if cache_dir is None:
+        cache_dir = env or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    if _enabled:
+        return jax.config.jax_compilation_cache_dir
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything: the remote hop makes even small compiles slow.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled = True
+    return cache_dir
