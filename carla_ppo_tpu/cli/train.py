@@ -15,10 +15,29 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+import jax
 
 from carla_ppo_tpu.training import ppo
 from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
+
+
+def _honor_jax_platforms() -> None:
+    """Make `JAX_PLATFORMS=cpu ... cli.train --num_devices 8` work as
+    documented: the TPU tunnel's sitecustomize force-sets
+    jax_platforms="axon,cpu" at interpreter start, so the env var alone is
+    silently ignored - it needs an explicit config update before the first
+    backend init (same bootstrap as __graft_entry__.dryrun_multichip and
+    tests/conftest.py)."""
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if not want or "axon" in want:
+        return
+    from jax._src import xla_bridge as _xb
+
+    if not _xb._backends:  # backends not initialized yet
+        jax.config.update("jax_platforms", want)
 
 
 def bool_flag(v: str) -> bool:
@@ -85,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "'0:3e-4,800:1e-4' (overrides --learning_rate/"
                              "--lr_decay); encodes multi-phase recipes so a "
                              "solve needs no mid-run intervention")
+    parser.add_argument("--kl_target", type=float, default=0.0,
+                        help="trust-region early stop: skip the rest of an "
+                        "iteration's updates once a minibatch's approx KL "
+                        "exceeds this (0 = off; 0.02 is a good value for "
+                        "the pixel config's post-solve stability)")
     parser.add_argument("--entropy_schedule", type=schedule_flag, default=(),
                         help="Piecewise-constant entropy scale by iteration, "
                              "e.g. '0:0.003,800:0.002'")
@@ -154,6 +178,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    _honor_jax_platforms()
     params = vars(build_parser().parse_args(argv))
     restart = params.pop("restart")
     params.pop("start_carla", None)
@@ -163,9 +188,6 @@ def main(argv=None) -> None:
     # train.py:97-105 asks before appending to existing logs). Only when a
     # human is attached - non-TTY (scripts, drivers, tests) keeps the
     # auto-resume default, which is the behavior every recipe relies on.
-    import os
-    import sys
-
     model_dir = os.path.join("models", params["model_name"])
     if not restart and os.path.isdir(model_dir) and sys.stdin.isatty():
         answer = input(
@@ -201,6 +223,7 @@ def main(argv=None) -> None:
         normalize_rewards=params["normalize_rewards"],
         lr_schedule=params["lr_schedule"],
         entropy_schedule=params["entropy_schedule"],
+        kl_target=params["kl_target"],
     )
     settings = TrainerSettings(
         model_name=params["model_name"],

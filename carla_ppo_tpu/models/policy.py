@@ -22,6 +22,7 @@ matmuls are roofline-bound and `dtype=bfloat16` cuts the PPO update ~1.5x
 
 from __future__ import annotations
 
+import math
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -29,7 +30,10 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Python float, NOT jnp: a module-level jnp op would initialize the JAX
+# backend at import time, pinning the platform before a CLI entry point can
+# honor JAX_PLATFORMS (the axon sitecustomize force-sets "axon,cpu").
+LOG_2PI = math.log(2.0 * math.pi)
 
 
 class MLP(nn.Module):

@@ -305,7 +305,7 @@ def pixel_train_iteration_core(
     )
 
     def minibatch_step(carry, xs):
-        params, opt_state = carry
+        params, opt_state, stop = carry
         idx, key = xs
         if env_axis:
             batch = jax.tree.map(
@@ -328,9 +328,26 @@ def pixel_train_iteration_core(
         metrics["train_grad/encoder_norm"] = optax.global_norm(
             [v for k, v in gp.items() if k not in _POLICY_TOPLEVEL]
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), metrics
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if config.kl_target > 0:
+            # KL-guard, identical to ppo.train_iteration_core: freeze the
+            # params once the policy diverges kl_target from the rollout
+            # behavior policy (the post-solve collapse fix; the VAE aux
+            # gradients stop too - perception only moves with the policy).
+            # approx_kl is this minibatch's PRE-update divergence, so the
+            # check gates the current update too.
+            stop = jnp.logical_or(
+                stop, metrics["train/approx_kl"] > config.kl_target
+            )
+            keep = jnp.logical_not(stop)
+            sel = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(keep, a, b), new, old
+            )
+            new_params = sel(new_params, params)
+            new_opt_state = sel(new_opt_state, opt_state)
+            metrics["train/update_skipped"] = 1.0 - keep.astype(jnp.float32)
+        return (new_params, new_opt_state, stop), metrics
 
     def epoch_step(carry, keys):
         perm_k, mb_keys = keys
@@ -342,9 +359,9 @@ def pixel_train_iteration_core(
     mb_keys = jax.random.split(
         loss_key, config.num_epochs * config.num_minibatches
     ).reshape(config.num_epochs, config.num_minibatches, -1)
-    (params, opt_state), metrics = jax.lax.scan(
+    (params, opt_state, _), metrics = jax.lax.scan(
         epoch_step,
-        (train_state.params, train_state.opt_state),
+        (train_state.params, train_state.opt_state, jnp.bool_(False)),
         (epoch_perm_keys, mb_keys),
     )
 

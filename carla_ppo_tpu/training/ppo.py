@@ -89,6 +89,19 @@ class PPOConfig:
     # shuffle is at least as decorrelated as the reference's. "sample"
     # reproduces the flat per-sample permutation.
     minibatch_axis: str = "env"
+    # Trust-region early stop: once a minibatch's approx KL(old||new) (k3
+    # estimator, measured BEFORE applying that minibatch's update) exceeds
+    # this, the remaining updates of the iteration are skipped (branchless:
+    # the update is computed but where'd away). 0 disables. This is the
+    # structural fix for the post-solve collapse (VERDICT round-2 item 2):
+    # on a solved task advantages are noise-dominated and the action std is
+    # small, so one noisy batch can produce a single large coherent update
+    # off the solved manifold (measured signature at the collapse: mean
+    # prob_ratio 0.95, |policy surrogate| 40x normal, value loss spiking to
+    # 126 the next iteration); bounding per-iteration divergence prevents
+    # the first step of that spiral. The reference has no analog (plain
+    # fixed-epoch PPO, ppo.py:218-229).
+    kl_target: float = 0.0
 
     @property
     def updates_per_iteration(self) -> int:
@@ -480,7 +493,7 @@ def train_iteration_core(
     )
 
     def minibatch_step(carry, idx):
-        params, opt_state = carry
+        params, opt_state, stop = carry
         if env_axis:
             # [mb_envs, T, ...] -> flat [mb_envs * T, ...]
             batch = jax.tree.map(
@@ -496,9 +509,25 @@ def train_iteration_core(
             # reference - it is single-process; SURVEY.md section 2.3).
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), metrics
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if config.kl_target > 0:
+            # KL-guard (see PPOConfig.kl_target): freeze params once the
+            # policy has diverged kl_target from the rollout behavior
+            # policy. approx_kl here is this minibatch's PRE-update
+            # divergence, so the check gates the current update too; it is
+            # already pmean'd, so every device stops in lockstep.
+            stop = jnp.logical_or(
+                stop, metrics["train/approx_kl"] > config.kl_target
+            )
+            keep = jnp.logical_not(stop)
+            sel = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(keep, a, b), new, old
+            )
+            new_params = sel(new_params, params)
+            new_opt_state = sel(new_opt_state, opt_state)
+            metrics["train/update_skipped"] = 1.0 - keep.astype(jnp.float32)
+        return (new_params, new_opt_state, stop), metrics
 
     def epoch_step(carry, key):
         perm = jax.random.permutation(key, perm_size)
@@ -506,8 +535,10 @@ def train_iteration_core(
         return jax.lax.scan(minibatch_step, carry, batches)
 
     epoch_keys = jax.random.split(perm_key, config.num_epochs)
-    (params, opt_state), metrics = jax.lax.scan(
-        epoch_step, (train_state.params, train_state.opt_state), epoch_keys
+    (params, opt_state, _), metrics = jax.lax.scan(
+        epoch_step,
+        (train_state.params, train_state.opt_state, jnp.bool_(False)),
+        epoch_keys,
     )
 
     # Episodic means over all updates of this iteration (the reference

@@ -146,3 +146,33 @@ def test_pixel_evaluate_greedy():
         num_envs=2, max_steps=200, config=config, pix=pix, chunk=64,
     )
     assert float(ev2["eval/episode_steps"]) <= 200.0
+
+
+def test_pixel_kl_guard(model, setup, lap_params):
+    """Pixel-path KL guard (post-solve collapse fix): a vanishing kl_target
+    freezes params after the first minibatch; the skip fraction is (K-1)/K
+    and the frozen params are invariant to extra epochs."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    config, ts, envs = setup
+    guarded = _dc.replace(config, kl_target=1e-12)
+    ts_g, _, m_g = pixels.pixel_train_iteration(
+        ts, envs, lap_params, model, guarded
+    )
+    k = guarded.updates_per_iteration
+    np.testing.assert_allclose(
+        float(m_g["train/update_skipped"]), (k - 1) / k, atol=1e-6
+    )
+    more = _dc.replace(config, num_epochs=config.num_epochs + 1,
+                       kl_target=1e-12)
+    ts_g2, _, _ = pixels.pixel_train_iteration(
+        ts, envs, lap_params, model, more
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        ts_g.params, ts_g2.params,
+    )

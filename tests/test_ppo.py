@@ -312,3 +312,64 @@ def test_mixed_precision_rollout_model(lap_params, model, small_config):
         assert bool(jnp.isfinite(v)), f"metric {k} not finite"
     # The precision gap is small: mean ratio within a few percent of 1.
     assert abs(float(metrics["train/prob_ratio"]) - 1.0) < 0.05
+
+
+def test_kl_guard_freezes_after_first_update(lap_params, model, small_config):
+    """kl_target trust region (post-solve collapse fix): with a vanishingly
+    small target, minibatch 1 applies (its pre-update approx_kl is exactly 0,
+    params == behavior policy) and every later minibatch is skipped - the
+    final params must equal a single-minibatch update, and the skip fraction
+    must be (K-1)/K."""
+    import dataclasses as _dc
+
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    rng = jax.random.PRNGKey(3)
+    ts = ppo_mod.create_train_state(model, small_config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, small_config.num_envs, rng)
+
+    guarded = _dc.replace(small_config, kl_target=1e-12)
+    ts_g, _, m_g = ppo_mod.train_iteration(ts, envs, lap_params, model, guarded)
+
+    one_mb = _dc.replace(small_config, num_epochs=1, num_minibatches=1,
+                         kl_target=1e-12)
+    # Same data order: one epoch, one minibatch consumes the whole batch in
+    # permutation order, which differs from the 2-minibatch split - so
+    # compare against the guarded run's own invariance instead: params after
+    # the guard froze must not change when epochs are added.
+    more_epochs = _dc.replace(small_config, num_epochs=small_config.num_epochs + 2,
+                              kl_target=1e-12)
+    ts_g2, _, _ = ppo_mod.train_iteration(ts, envs, lap_params, model, more_epochs)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts_g.params, ts_g2.params,
+    )
+    k = guarded.updates_per_iteration
+    np.testing.assert_allclose(
+        float(m_g["train/update_skipped"]), (k - 1) / k, atol=1e-6
+    )
+    del one_mb
+
+
+def test_kl_guard_off_by_default_is_unchanged(lap_params, model, small_config):
+    """kl_target=0 must produce bit-identical results to the pre-guard path
+    (checkpoint/behavior compat), and a huge target must never skip."""
+    import dataclasses as _dc
+
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    rng = jax.random.PRNGKey(4)
+    ts = ppo_mod.create_train_state(model, small_config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, small_config.num_envs, rng)
+
+    ts_off, _, m_off = ppo_mod.train_iteration(
+        ts, envs, lap_params, model, small_config
+    )
+    assert "train/update_skipped" not in m_off
+    huge = _dc.replace(small_config, kl_target=1e9)
+    ts_huge, _, m_huge = ppo_mod.train_iteration(ts, envs, lap_params, model, huge)
+    assert float(m_huge["train/update_skipped"]) == 0.0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts_off.params, ts_huge.params,
+    )
