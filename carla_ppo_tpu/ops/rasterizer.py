@@ -634,6 +634,55 @@ def render_rgb(
     return rgb.reshape(cam.height, cam.width, 3)
 
 
+def _static_depth_sky(cam: CameraConfig):
+    """Static per-pixel (depth [H, W], sky [H, W]) maps.
+
+    Ground depth is a pure function of the pixel row (the camera is rigid),
+    so the billboard depth test needs nothing from the ground pass - this is
+    what lets the Pallas ground kernel emit class ids only."""
+    import numpy as np
+
+    _, sky, t = _row_geometry(cam)
+    depth = np.where(sky, np.inf, t)[:, None].repeat(cam.width, axis=1)
+    sky2 = sky[:, None].repeat(cam.width, axis=1)
+    return jnp.asarray(depth, jnp.float32), jnp.asarray(sky2)
+
+
+def _pallas_ground_eligible(states: EnvState, params: EnvParams) -> bool:
+    """Trace-time check: can the batch use the fused Pallas ground kernel?
+
+    Needs a real TPU backend (Mosaic does not target CPU), a shared
+    (non-banked) track, and an env batch divisible by the kernel's
+    envs-per-program group."""
+    from carla_ppo_tpu.ops import rasterizer_pallas as rp
+
+    B = states.waypoint_idx.shape[0] if states.waypoint_idx.ndim else 0
+    return (
+        jax.default_backend() not in ("cpu",)
+        and params.track.pos.ndim == 2
+        and B % rp.GROUP == 0
+    )
+
+
+def _render_batch_pallas_composed(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig,
+    style: RoadStyle,
+    interpret: bool = False,
+) -> Array:
+    """Pallas v3d ground pass + (optional) XLA billboard composite."""
+    from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v3d
+
+    cls = render_batch_pallas_v3d(states, params, cam, style, interpret)
+    if cam.render_props:
+        depth, sky = _static_depth_sky(cam)
+        cls = jax.vmap(
+            lambda c, s: billboard_pass(c, depth, sky, s, params, cam)[0]
+        )(cls, states)
+    return cls
+
+
 @partial(jax.jit, static_argnames=("cam", "style"))
 def render_batch(
     states: EnvState,
@@ -641,5 +690,12 @@ def render_batch(
     cam: CameraConfig = CameraConfig(),
     style: RoadStyle = RoadStyle(),
 ) -> Array:
-    """[B, H, W] int32 frames for a vmapped env batch."""
+    """[B, H, W] int32 frames for a vmapped env batch.
+
+    On TPU, shared-track batches divisible by the kernel group run the fused
+    Pallas ground pass (ops/rasterizer_pallas.render_batch_pallas_v3d -
+    measured 4.85 ms vs 7.34 ms XLA for 1024 ground passes, bit-identical
+    output); everything else takes the XLA path."""
+    if _pallas_ground_eligible(states, params):
+        return _render_batch_pallas_composed(states, params, cam, style)
     return jax.vmap(lambda s: render_semantic(s, params, cam, style))(states)

@@ -110,12 +110,18 @@ def _render_and_measure(
 ) -> Tuple[Array, Array]:
     from carla_ppo_tpu.envs.observations import measurements as measure_fn
 
+    if env_kind == "lap":
+        # Batch-level render: on TPU this takes the fused Pallas ground
+        # kernel (rasterizer.render_batch docstring).
+        cls = rasterizer.render_batch(states, env_params, cam)
+        return cls.astype(jnp.uint8), jax.vmap(measure_fn)(states)
+
     def per_env(s):
-        p = env_params
-        if env_kind in ("route", "lap_bank"):
-            # Banked tracks: slice this env's track before rendering
-            # (route_id doubles as the lap_bank track id).
-            p = p.replace(track=jax.tree.map(lambda x: x[s.route_id], p.track))
+        # Banked tracks: slice this env's track before rendering
+        # (route_id doubles as the lap_bank track id).
+        p = env_params.replace(
+            track=jax.tree.map(lambda x: x[s.route_id], env_params.track)
+        )
         cls = rasterizer.render_semantic(s, p, cam)
         return cls.astype(jnp.uint8), measure_fn(s)
 

@@ -33,10 +33,19 @@ def enable(cache_dir: str | None = None) -> str | None:
     if env == "0":
         return None
     if cache_dir is None:
+        # Partition by the requested platform: CPU AOT executables embed the
+        # compiling machine's CPU features, and the remote-compile service's
+        # machine differs from this host - sharing one dir makes local CPU
+        # runs load foreign-feature AOT blobs (SIGILL risk, loud warnings).
+        platform = (
+            os.environ.get("JAX_PLATFORMS", "axon").replace(",", "-")
+            or "default"
+        )
         cache_dir = env or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))),
             ".jax_cache",
+            platform,
         )
     if _enabled:
         return jax.config.jax_compilation_cache_dir
