@@ -153,3 +153,39 @@ def create_encode_state_fn(
         return jnp.concatenate(feats).astype(jnp.float32)
 
     return encode_state
+
+
+def create_encode_batch_fn(
+    model: VAE,
+    variables: Any,
+    measurements_to_include=("steer", "throttle", "speed"),
+    cam: rasterizer.CameraConfig = rasterizer.CameraConfig(),
+) -> Callable[[EnvState, EnvParams], Array]:
+    """BATCH-level latent observation builder (seg source, shared track).
+
+    Same output as vmap(create_encode_state_fn(...)) but renders through
+    rasterizer.render_batch, which dispatches the fused Pallas ground kernel
+    on TPU - the per-env vmapped render_semantic cannot take that path."""
+    measure_flags = (
+        "steer" in measurements_to_include,
+        "throttle" in measurements_to_include,
+        "speed" in measurements_to_include,
+    )
+    src_depth = model.source_shape[-1]
+
+    def encode_batch(states: EnvState, params: EnvParams) -> Array:
+        cls = rasterizer.render_batch(states, params, cam)
+        frames = rasterizer.seg_to_obs(cls)  # [B, H, W, 1]
+        if src_depth == 3:
+            frames = jnp.repeat(frames, 3, axis=-1)
+        z = model.apply(variables, frames, method=model.encode)  # [B, z]
+        feats = [z]
+        if measure_flags[0]:
+            feats.append(states.control[:, 0:1])
+        if measure_flags[1]:
+            feats.append(states.control[:, 1:2])
+        if measure_flags[2]:
+            feats.append(states.vehicle.speed[:, None])
+        return jnp.concatenate(feats, axis=1).astype(jnp.float32)
+
+    return encode_batch

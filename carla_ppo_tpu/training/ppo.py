@@ -140,7 +140,20 @@ def make_obs_fn(latent_obs, vae_variables, config: "PPOConfig"):
         return jax.vmap(
             lambda s, p: env.observe(s, p, config.obs_fn), in_axes=(0, None)
         )
-    from carla_ppo_tpu.models.vae_common import create_encode_state_fn
+    from carla_ppo_tpu.models.vae_common import (
+        create_encode_batch_fn,
+        create_encode_state_fn,
+    )
+
+    if config.env_kind == "lap" and latent_obs.source == "seg":
+        # Shared-track seg obs: batch-level renderer so the fused Pallas
+        # ground kernel can take the whole batch on TPU (rasterizer
+        # render_batch; the per-env vmapped path cannot dispatch it).
+        return create_encode_batch_fn(
+            latent_obs.vae_model,
+            vae_variables,
+            measurements_to_include=latent_obs.measurements,
+        )
 
     encode = create_encode_state_fn(
         latent_obs.vae_model,

@@ -143,3 +143,31 @@ def test_mlp_vae_overfits_tiny_dataset():
         variables, opt_state, loss = step(variables, opt_state, k)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9
+
+
+def test_encode_batch_matches_vmapped_state_fn(lap_params):
+    """create_encode_batch_fn (batch renderer path, the production latent
+    rollout) must produce the SAME observations as vmapping the per-env
+    create_encode_state_fn - it is a dispatch optimization, not a semantic
+    change."""
+    from carla_ppo_tpu.envs import lap_env
+    from carla_ppo_tpu.models import vae_common
+
+    model = vae_mod.ConvVAE(source_shape=(80, 160, 1), target_shape=(80, 160, 1))
+    x = jnp.zeros((1, 80, 160, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), True)
+
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    states = jax.vmap(lambda k: lap_env.reset(lap_params, k))(keys)
+    for _ in range(10):
+        states, _ = jax.vmap(lambda s, a: lap_env.step(s, a, lap_params))(
+            states, jnp.tile(jnp.array([0.05, 0.8]), (B, 1))
+        )
+
+    per_env = vae_common.create_encode_state_fn(model, variables)
+    batched = vae_common.create_encode_batch_fn(model, variables)
+    a = jax.vmap(per_env, in_axes=(0, None))(states, lap_params)
+    b = batched(states, lap_params)
+    assert a.shape == b.shape == (B, model.z_dim + 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
