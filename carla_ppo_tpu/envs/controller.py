@@ -93,6 +93,19 @@ class VehiclePIDController:
             track.pos, env_state.waypoint_idx + lookahead,
             track.length, track.is_loop,
         )
+        return self.run_step_to_point(env_state, env_params, wp, target_speed_kmh)
+
+    def run_step_to_point(
+        self,
+        env_state: EnvState,
+        env_params: EnvParams,
+        wp: Array,
+        target_speed_kmh: Array,
+    ) -> Tuple[Array, "VehiclePIDController"]:
+        """Compute [steer, throttle] toward an explicit target point `wp`
+        ([2] world coords) - the reference controller's actual interface
+        (controller.py:46-68 takes the target waypoint object; the
+        LocalPlanner hands it the buffer head)."""
         veh = env_state.vehicle
         # Lateral: signed heading error to the target waypoint
         # (reference: controller.py:151-180 uses the same cross/dot geometry).
