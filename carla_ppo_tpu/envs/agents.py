@@ -96,11 +96,23 @@ def roaming_agent_step(
     action, controller = agent.controller.run_step(
         env_state, env_params, agent.target_speed_kmh * slow
     )
-    # Emergency stop on a vehicle hazard: keep steering, cut throttle (the
-    # action space has no brake channel; drag decelerates, exactly what the
-    # ego can do - reference: agent.py emergency_stop sets throttle 0).
-    hazard = is_vehicle_hazard(env_state, env_params)
-    action = jnp.where(hazard, jnp.stack([action[0], 0.0]), action)
+    # Emergency stop on a vehicle hazard or a red light ahead: keep steering,
+    # cut throttle, full brake (reference: agent.py emergency_stop sets
+    # throttle 0 / brake 1.0, triggered by _is_vehicle_hazard OR
+    # _is_light_red, roaming_agent.py:49-63). The agents emit the 3-channel
+    # [steer, throttle, brake] control CARLA vehicles take; the RL action
+    # space remains 2-D.
+    from carla_ppo_tpu.envs import traffic_lights
+
+    hazard = jnp.logical_or(
+        is_vehicle_hazard(env_state, env_params),
+        traffic_lights.is_red_light_ahead(env_state, env_params),
+    )
+    action = jnp.where(
+        hazard,
+        jnp.stack([action[0], 0.0, 1.0]),
+        jnp.stack([action[0], action[1], 0.0]),
+    )
     return action, agent.replace(controller=controller)
 
 
@@ -115,6 +127,7 @@ def basic_agent_step(
     arrived = remaining <= 2
 
     action, agent = roaming_agent_step(agent, env_state, env_params)
-    # Stop at the destination: zero throttle (no brake in the action space).
-    action = jnp.where(arrived, jnp.array([0.0, 0.0]), action)
+    # Stop at the destination: full brake (reference: basic_agent.py:96-118
+    # emits a stop control at the route's end).
+    action = jnp.where(arrived, jnp.array([0.0, 0.0, 1.0]), action)
     return action, agent, arrived

@@ -30,12 +30,19 @@ from carla_ppo_tpu.envs.types import VehicleParams, VehicleState
 GRAVITY = 9.81
 
 
-def longitudinal_force(params: VehicleParams, v: Array, throttle: Array) -> Array:
-    """Net longitudinal force (N): engine minus drag minus rolling resistance."""
+def longitudinal_force(
+    params: VehicleParams, v: Array, throttle: Array, brake: Array = 0.0
+) -> Array:
+    """Net longitudinal force (N): engine minus brake, drag and rolling
+    resistance. `brake` in [0,1] maps to CARLA's VehicleControl.brake (the
+    scripted agents' emergency_stop sets it to 1.0, reference: agent.py
+    emergency_stop / local_planner.py:206); the RL action space has no brake
+    channel, matching the reference's [steer, throttle] Box."""
     engine = throttle * params.engine_force * jnp.maximum(1.0 - v / params.v_max, 0.0)
     drag = params.drag_coef * v * v
     roll = params.roll_coef * params.mass * GRAVITY * jnp.sign(v)
-    return engine - drag - roll
+    braking = brake * params.brake_force * jnp.sign(v)
+    return engine - drag - roll - braking
 
 
 def _substep(
@@ -43,6 +50,7 @@ def _substep(
     state: VehicleState,
     steer_cmd: Array,
     throttle_cmd: Array,
+    brake_cmd: Array,
     dt: Array,
     dynamic: bool,
 ) -> VehicleState:
@@ -65,8 +73,8 @@ def _substep(
 
     # Kinematic bicycle with CG slip angle beta.
     beta = jnp.arctan(params.lr / params.wheelbase * jnp.tan(eff_angle))
-    accel = longitudinal_force(params, v, throttle_cmd) / params.mass
-    v_new = jnp.maximum(v + accel * dt, 0.0)  # no reverse: no brake action
+    accel = longitudinal_force(params, v, throttle_cmd, brake_cmd) / params.mass
+    v_new = jnp.maximum(v + accel * dt, 0.0)  # no reverse (brake holds at 0)
 
     yaw_rate = v_new / params.lr * jnp.sin(beta)
     yaw = state.yaw + yaw_rate * dt
@@ -93,6 +101,7 @@ def vehicle_step(
     dt: Array,
     substeps: int = 2,
     dynamics_model: str = "kinematic",
+    brake_cmd: Array = 0.0,
 ) -> VehicleState:
     """Advance the vehicle by one env tick of `dt` seconds.
 
@@ -104,6 +113,6 @@ def vehicle_step(
     sub_dt = dt / substeps
 
     def body(_, s):
-        return _substep(params, s, steer_cmd, throttle_cmd, sub_dt, dynamic)
+        return _substep(params, s, steer_cmd, throttle_cmd, brake_cmd, sub_dt, dynamic)
 
     return lax.fori_loop(0, substeps, body, state, unroll=True)

@@ -77,6 +77,7 @@ class CarlaLapEnv:
         start_carla: bool = True,  # ignored
         track_seed: int = 0,
         seed: Optional[int] = None,
+        traffic_lights: bool = False,
     ):
         del host, port, synchronous, start_carla
         self.viewer_res = viewer_res
@@ -95,6 +96,12 @@ class CarlaLapEnv:
             reward_name = "reward_speed_centering_angle_multiply"
 
         self.params = self._make_params(track_seed, fps, action_smoothing, reward_name)
+        if traffic_lights:
+            # Junction lights (scene dressing + scripted-agent hazards;
+            # CARLA worlds have them, see envs/traffic_lights.py).
+            from carla_ppo_tpu.envs import traffic_lights as tl
+
+            self.params = tl.add_traffic_lights(self.params, seed=track_seed)
 
         # Observation encoding: named obs fn ("vector", "pixels", "latent"
         # via vae_common) or None -> raw camera frame.

@@ -189,11 +189,20 @@ def step(
 
     Mirrors reference: carla_lap_env.py:310-413 end to end, minus the RPC/
     busy-wait plumbing that doesn't exist on-device.
+
+    An optional 3rd component is CARLA's VehicleControl.brake in [0,1]
+    (reference: wrappers.py:202 carries it; the scripted agents'
+    emergency_stop sets it) - the RL action space stays 2-D like the
+    reference's Box. Brake is applied unsmoothed: it is the scripted
+    agents' safety channel, and the reference smooths only the RL action.
     """
     track = params.track
     action = jnp.asarray(action, jnp.float32)
     act = jnp.stack(
         [jnp.clip(action[0], -1.0, 1.0), jnp.clip(action[1], 0.0, 1.0)]
+    )
+    brake = (
+        jnp.clip(action[2], 0.0, 1.0) if action.shape[0] > 2 else jnp.float32(0.0)
     )
 
     # Action smoothing (reference: carla_lap_env.py:332-333).
@@ -209,6 +218,7 @@ def step(
         params.dt,
         substeps=params.physics_substeps,
         dynamics_model=params.dynamics_model,
+        brake_cmd=brake,
     )
 
     mid = state.replace(vehicle=vehicle, control=control)

@@ -138,12 +138,16 @@ def run_step(
     max_index = jnp.max(jnp.where(within, offsets, -1))
     new_head = planner.head + (max_index + 1) * planner.sampling_stride
 
-    # Queue exhausted on an open plan -> full stop (local_planner.py:202-210;
-    # the action space has no brake channel, so the stop is zero throttle).
+    # Queue exhausted on an open plan -> full stop (reference:
+    # local_planner.py:202-210 emits steer 0 / throttle 0 / brake 1).
     exhausted = jnp.logical_and(
         jnp.logical_not(track.is_loop), planner.head >= track.length
     )
-    action = jnp.where(exhausted, jnp.zeros_like(action), action)
+    action = jnp.where(
+        exhausted,
+        jnp.array([0.0, 0.0, 1.0]),
+        jnp.concatenate([action, jnp.zeros((1,))]),
+    )
     target_opt = jnp.where(exhausted, jnp.int32(int(RoadOption.VOID)), target_opt)
 
     planner = planner.replace(head=new_head, controller=controller)

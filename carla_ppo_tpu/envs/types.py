@@ -127,6 +127,10 @@ class VehicleParams:
     max_steer: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.61))
     # Peak tractive force (N) at full throttle and v = 0.
     engine_force: jax.Array = struct.field(default_factory=lambda: jnp.float32(8000.0))
+    # Full-brake force (CARLA VehicleControl.brake=1): ~0.54 g for the MKZ.
+    # Only the scripted agents' optional 3rd action channel reaches it - the
+    # RL action space is [steer, throttle], same as the reference.
+    brake_force: jax.Array = struct.field(default_factory=lambda: jnp.float32(10000.0))
     # Top speed (m/s); tractive force fades linearly to 0 at v_max.
     v_max: jax.Array = struct.field(default_factory=lambda: jnp.float32(38.0))
     # Aerodynamic drag: F = drag_coef * v^2  (0.5 * rho * Cd * A).
@@ -342,6 +346,27 @@ class EnvParams:
     npc_max_speed: jax.Array = struct.field(default_factory=lambda: jnp.float32(7.0))
     npc_collision_s: jax.Array = struct.field(default_factory=lambda: jnp.float32(4.0))
     npc_collision_lat: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.5))
+    # Traffic lights at junction entries: waypoint index + phase offset (s)
+    # per light, sharing one green->yellow->red cycle. The default EMPTY
+    # table means no lights anywhere - the reference-parity RL configs,
+    # whose training routes never gate on a light either; the scripted
+    # agents' red-light stop (envs/traffic_lights.py, reference:
+    # agents/navigation/agent.py:61-127) activates when a table is present.
+    light_wp: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.int32)
+    )
+    light_phase: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32)
+    )
+    light_period: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(16.0)
+    )
+    light_green_frac: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.5)
+    )
+    light_yellow_frac: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.125)
+    )
 
     # --- static fields (affect the compiled program) ---
     physics_substeps: int = struct.field(pytree_node=False, default=2)

@@ -85,7 +85,7 @@ def test_roaming_agent_vmapped(lap_params):
     actions, agent2 = jax.vmap(
         lambda a, s: agents.roaming_agent_step(a, s, lap_params)
     )(agent, states)
-    assert actions.shape == (B, 2)
+    assert actions.shape == (B, 3)  # [steer, throttle, brake]
 
 
 def test_vehicle_hazard_detection(lap_params):

@@ -122,3 +122,27 @@ def test_vmap_batch():
     )(s0, steer, throttle)
     assert out.pos.shape == (B, 2)
     assert bool(jnp.all(out.vx >= 0))
+
+
+def test_brake_decelerates_hard():
+    """brake=1 stops the car far faster than coasting (CARLA
+    VehicleControl.brake; reference agents' emergency_stop uses it), and a
+    2-D action leaves the dynamics exactly as before (RL-path invariant)."""
+    p = VehicleParams()
+    s0 = VehicleState(
+        pos=jnp.zeros(2), yaw=jnp.float32(0.0), vx=jnp.float32(8.0),
+        vy=jnp.float32(0.0), yaw_rate=jnp.float32(0.0),
+        steer_angle=jnp.float32(0.0),
+    )
+    dt = jnp.float32(1.0 / 30.0)
+    coast, braked = s0, s0
+    for _ in range(30):  # one second
+        coast = vehicle_step(p, coast, 0.0, 0.0, dt)
+        braked = vehicle_step(p, braked, 0.0, 0.0, dt, brake_cmd=1.0)
+    # Full brake sheds ~5.3 m/s^2; coasting only ~0.15.
+    assert float(braked.vx) < 3.5
+    assert float(coast.vx) > 7.0
+    # brake=0 is bit-identical to the legacy call.
+    legacy = vehicle_step(p, s0, 0.1, 0.5, dt)
+    with_zero = vehicle_step(p, s0, 0.1, 0.5, dt, brake_cmd=0.0)
+    assert float(legacy.vx) == float(with_zero.vx)

@@ -57,7 +57,7 @@ def test_exhausted_open_plan_stops():
         head=jnp.int32(int(t.length))
     )
     action, _, opt = local_planner.run_step(p, s, params)
-    np.testing.assert_allclose(np.asarray(action), [0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(action), [0.0, 0.0, 1.0])  # brake
     assert int(opt) == int(RoadOption.VOID)
 
 
