@@ -160,21 +160,25 @@ def create_encode_batch_fn(
     variables: Any,
     measurements_to_include=("steer", "throttle", "speed"),
     cam: rasterizer.CameraConfig = rasterizer.CameraConfig(),
+    banked: bool = False,
 ) -> Callable[[EnvState, EnvParams], Array]:
-    """BATCH-level latent observation builder (seg source, shared track).
+    """BATCH-level latent observation builder (seg source).
 
     Same output as vmap(create_encode_state_fn(...)) but renders through
-    rasterizer.render_batch, which dispatches the fused Pallas ground kernel
-    on TPU - the per-env vmapped render_semantic cannot take that path."""
+    rasterizer.render_batch / render_batch_banked, which dispatch the fused
+    Pallas ground kernel on TPU - the per-env vmapped render_semantic cannot
+    take that path. `banked=True` for route/lap_bank batches whose
+    params.track is a bank indexed by states.route_id."""
     measure_flags = (
         "steer" in measurements_to_include,
         "throttle" in measurements_to_include,
         "speed" in measurements_to_include,
     )
     src_depth = model.source_shape[-1]
+    render = rasterizer.render_batch_banked if banked else rasterizer.render_batch
 
     def encode_batch(states: EnvState, params: EnvParams) -> Array:
-        cls = rasterizer.render_batch(states, params, cam)
+        cls = render(states, params, cam)
         frames = rasterizer.seg_to_obs(cls)  # [B, H, W, 1]
         if src_depth == 3:
             frames = jnp.repeat(frames, 3, axis=-1)

@@ -699,3 +699,37 @@ def render_batch(
     if _pallas_ground_eligible(states, params):
         return _render_batch_pallas_composed(states, params, cam, style)
     return jax.vmap(lambda s: render_semantic(s, params, cam, style))(states)
+
+
+@partial(jax.jit, static_argnames=("cam", "style"))
+def render_batch_banked(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+) -> Array:
+    """[B, H, W] frames for a batch over BANKED tracks (route/lap_bank):
+    `params.track` leaves carry a leading route axis and each env's
+    `states.route_id` picks its track.
+
+    The fused Pallas ground kernel is track-agnostic (only its XLA window
+    prep reads track data), so banked batches take the same single-dispatch
+    path as shared-track ones - the prep just vmaps over per-env track
+    slices. CPU/odd batches fall back to the per-env XLA renderer."""
+    from carla_ppo_tpu.ops import rasterizer_pallas as rp
+
+    tracks = jax.tree.map(lambda x: x[states.route_id], params.track)
+    B = states.waypoint_idx.shape[0]
+    if jax.default_backend() not in ("cpu",) and B % rp.GROUP == 0:
+        cls = rp.render_batch_pallas_v3d(states, params, cam, style, tracks=tracks)
+        if cam.render_props:
+            depth, sky = _static_depth_sky(cam)
+            cls = jax.vmap(
+                lambda c, s, t: billboard_pass(
+                    c, depth, sky, s, params.replace(track=t), cam
+                )[0]
+            )(cls, states, tracks)
+        return cls
+    return jax.vmap(
+        lambda s, t: render_semantic(s, params.replace(track=t), cam, style)
+    )(states, tracks)

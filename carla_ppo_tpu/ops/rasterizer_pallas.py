@@ -335,18 +335,23 @@ def render_batch_pallas_v3d(
     cam: CameraConfig = CameraConfig(),
     style: RoadStyle = RoadStyle(),
     interpret: bool = False,
+    tracks: "EnvParams | None" = None,
 ) -> Array:
     """[B, H, W] int32 seg frames - the single-dispatch fused v3 ground pass.
 
     B must be a multiple of GROUP (the production batch sizes 256..8192 are).
+
+    `tracks` (optional): a PER-ENV TrackData pytree (leading env axis, e.g. a
+    route bank sliced by route_id) - the kernel itself is track-agnostic;
+    only the XLA window prep reads track data, so banked batches just vmap
+    the prep over their per-env tracks. None = the shared params.track.
     """
     from carla_ppo_tpu.ops.rasterizer import _row_stripes, _window_table
 
-    track = params.track
     n_sky, stripes = _row_stripes(cam)
     W = cam.width
 
-    def prep(state):
+    def prep(state, track):
         idxs = _window_indices(state.waypoint_idx, cam)
         win = wp_gather(_window_table(track), idxs, track.length, track.is_loop)
         yaw = state.vehicle.yaw
@@ -372,7 +377,10 @@ def render_batch_pallas_v3d(
         )
         return win_cols, payload
 
-    win_cols, payload = jax.vmap(prep)(states)
+    if tracks is None:
+        win_cols, payload = jax.vmap(lambda s: prep(s, params.track))(states)
+    else:
+        win_cols, payload = jax.vmap(prep)(states, tracks)
     B = win_cols.shape[0]
     assert B % GROUP == 0, (B, GROUP)
 

@@ -145,14 +145,15 @@ def make_obs_fn(latent_obs, vae_variables, config: "PPOConfig"):
         create_encode_state_fn,
     )
 
-    if config.env_kind == "lap" and latent_obs.source == "seg":
-        # Shared-track seg obs: batch-level renderer so the fused Pallas
-        # ground kernel can take the whole batch on TPU (rasterizer
-        # render_batch; the per-env vmapped path cannot dispatch it).
+    if latent_obs.source == "seg":
+        # Seg obs: batch-level renderer so the fused Pallas ground kernel
+        # can take the whole batch on TPU (rasterizer render_batch /
+        # render_batch_banked; the per-env vmapped path cannot dispatch it).
         return create_encode_batch_fn(
             latent_obs.vae_model,
             vae_variables,
             measurements_to_include=latent_obs.measurements,
+            banked=config.env_kind in ("route", "lap_bank"),
         )
 
     encode = create_encode_state_fn(

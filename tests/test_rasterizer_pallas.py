@@ -111,3 +111,29 @@ def test_render_batch_cpu_fallback(lap_params, batch):
     assert not R._pallas_ground_eligible(batch, lap_params)
     out = R.render_batch(batch, lap_params)
     assert out.shape == (GROUP, 80, 160)
+
+
+def test_v3d_banked_tracks_matches_reference():
+    """Banked batches (route bank sliced by route_id) take the same v3d
+    kernel - the prep vmaps over per-env track slices. Bit-identical to the
+    per-env XLA renderer across a batch spanning several routes."""
+    from carla_ppo_tpu.envs import route_env, route_planner
+
+    town = route_planner.make_town(seed=0)
+    bank = route_planner.make_route_bank(town, n_routes=8, capacity=1024, seed=0)
+    params = route_env.route_env_params(bank)
+    keys = jax.random.split(jax.random.PRNGKey(3), GROUP)
+    states = jax.vmap(lambda k: route_env.reset(params, k))(keys)
+    # Walk each env forward so windows differ per route.
+    for _ in range(30):
+        states, _ = jax.vmap(
+            lambda s, a: route_env.step(s, a, params)
+        )(states, jnp.tile(jnp.array([0.05, 0.9]), (GROUP, 1)))
+    assert np.unique(np.asarray(states.route_id)).size > 1
+
+    tracks = jax.tree.map(lambda x: x[states.route_id], params.track)
+    v = np.asarray(
+        render_batch_pallas_v3d(states, params, interpret=True, tracks=tracks)
+    )
+    ref = np.asarray(R.render_batch_banked(states, params))  # CPU -> XLA path
+    assert (ref == v).mean() == 1.0

@@ -171,3 +171,35 @@ def test_encode_batch_matches_vmapped_state_fn(lap_params):
     b = batched(states, lap_params)
     assert a.shape == b.shape == (B, model.z_dim + 3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_encode_batch_banked_matches_vmapped_state_fn():
+    """The banked batch encoder (route/lap_bank latent path) must match the
+    per-env slice-then-encode path exactly."""
+    from carla_ppo_tpu.envs import route_env, route_planner
+    from carla_ppo_tpu.models import vae_common
+
+    town = route_planner.make_town(seed=0)
+    bank = route_planner.make_route_bank(town, n_routes=4, capacity=1024, seed=0)
+    params = route_env.route_env_params(bank)
+
+    model = vae_mod.ConvVAE(source_shape=(80, 160, 1), target_shape=(80, 160, 1))
+    x = jnp.zeros((1, 80, 160, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1), True)
+
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    states = jax.vmap(lambda k: route_env.reset(params, k))(keys)
+
+    per_env = vae_common.create_encode_state_fn(model, variables)
+
+    def encode_sliced(s, p):
+        t = jax.tree.map(lambda x: x[s.route_id], p.track)
+        return per_env(s, p.replace(track=t))
+
+    a = jax.vmap(encode_sliced, in_axes=(0, None))(states, params)
+    b = vae_common.create_encode_batch_fn(model, variables, banked=True)(
+        states, params
+    )
+    assert a.shape == b.shape == (B, model.z_dim + 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
