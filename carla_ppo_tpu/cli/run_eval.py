@@ -37,6 +37,14 @@ def main(argv=None) -> None:
     parser.add_argument("--reward_fn", type=str,
                         default="reward_speed_centering_angle_multiply")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--checkpoint", type=str, default="best",
+                        choices=["best", "latest"],
+                        help="'best' loads the newest entry of the best-eval "
+                             "stream (the reference's run_eval semantics - "
+                             "train.py saves on best eval only); 'latest' "
+                             "keeps the Trainer's resume choice (newest "
+                             "across best+autosave, usually the final "
+                             "training state)")
     params = parser.parse_args(argv)
 
     os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
@@ -57,6 +65,17 @@ def main(argv=None) -> None:
     if trainer.checkpointer.latest_step() is None:
         print(f"No checkpoint found under models/{params.model_name}/checkpoints")
         sys.exit(1)
+
+    if params.checkpoint == "best":
+        # The Trainer restores the newest state across best+autosave (the
+        # right resume semantics); evaluation wants the best-eval stream's
+        # newest entry - its highest scorer, since it only grows on
+        # improvement (reference: train.py:130-132 save-on-best).
+        best = trainer.checkpointer.restore_latest(trainer.train_state)
+        if best is not None:
+            trainer.train_state = best
+            print(f"Loaded best-eval checkpoint (iteration "
+                  f"{int(best.iteration)})")
 
     metrics = trainer.evaluate()
     print("Vectorized greedy eval:")

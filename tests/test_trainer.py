@@ -181,3 +181,31 @@ def test_schedules_change_phase(tmp_path):
     assert m2["train/learning_rate"] == pytest.approx(1e-4)
     assert m2["train/entropy_scale"] == pytest.approx(0.002)
     t.close()
+
+
+def test_best_stream_restore_beats_resume_choice(small):
+    """run_eval's --checkpoint best contract: a fresh Trainer resumes the
+    NEWEST state across best+autosave streams, but the best-eval stream's
+    newest entry (its highest scorer - it only grows on improvement) is
+    recoverable via checkpointer.restore_latest, even when the autosave is
+    newer (the post-peak final state the reference's run_eval must NOT
+    evaluate; reference: train.py:130-132 save-on-best)."""
+    settings, config = small
+    t1 = Trainer(settings, config)
+    t1.train()  # best saved at it 0/2 evals; autosave at it=2
+    best_it = t1.checkpointer.latest_step()
+    # Age the autosave ahead of the best stream.
+    t1.train_state = t1.train_state.replace(
+        iteration=jnp.int32(int(t1.train_state.iteration) + 10)
+    )
+    t1.autosaver.save(int(t1.train_state.iteration), t1.train_state)
+    t1.close()
+
+    t2 = Trainer(settings, config)  # resume: picks the newer autosave
+    assert int(t2.train_state.iteration) == best_it + 10 + 3 or int(
+        t2.train_state.iteration
+    ) > best_it
+    best = t2.checkpointer.restore_latest(t2.train_state)
+    assert best is not None
+    assert int(best.iteration) <= best_it  # the best-stream entry, not autosave
+    t2.close()
