@@ -20,6 +20,24 @@ import os
 _enabled = False
 
 
+def _cpu_fingerprint() -> str:
+    """Short stable hash of the host's CPU feature flags (for partitioning
+    CPU AOT cache entries by the machine that can actually run them)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _platform
+
+    return _platform.machine() or "unknown"
+
+
 def enable(cache_dir: str | None = None) -> str | None:
     """Idempotently switch on the persistent compilation cache.
 
@@ -37,10 +55,15 @@ def enable(cache_dir: str | None = None) -> str | None:
         # compiling machine's CPU features, and the remote-compile service's
         # machine differs from this host - sharing one dir makes local CPU
         # runs load foreign-feature AOT blobs (SIGILL risk, loud warnings).
+        # CPU partitions additionally carry a host-feature fingerprint: the
+        # repo (and its cache) can move between VM types across sessions,
+        # and an entry compiled on a prior host is just as foreign.
         platform = (
             os.environ.get("JAX_PLATFORMS", "axon").replace(",", "-")
             or "default"
         )
+        if "cpu" in platform:
+            platform = f"{platform}-{_cpu_fingerprint()}"
         cache_dir = env or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))),
