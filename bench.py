@@ -97,7 +97,12 @@ def main() -> None:
     from carla_ppo_tpu.models import vae_common
     from carla_ppo_tpu.ops import rasterizer as R
 
-    rich_params = EnvParams(track=track.make_lap_track(seed=0, props=True))
+    # render_npc_billboards=False matches the Trainer's num_npcs=0 program
+    # (the pinned perception configs train without traffic).
+    rich_params = EnvParams(
+        track=track.make_lap_track(seed=0, props=True),
+        render_npc_billboards=False,
+    )
 
     # Latent training with the recommended recipe: bfloat16 compute for the
     # frozen encoder + policy trunks (params stay f32; quality validated by

@@ -381,6 +381,13 @@ class EnvParams:
     waypoint_lookahead: int = struct.field(pytree_node=False, default=8)
     terminate_on_collision: bool = struct.field(pytree_node=False, default=False)
     terminate_on_lane_invasion: bool = struct.field(pytree_node=False, default=False)
+    # Whether the renderer's billboard pass includes the NUM_NPC_SLOTS
+    # vehicle candidates. With num_npcs == 0 every NPC slot is class NONE and
+    # the pass provably composites nothing, but each slot still costs a full
+    # [1, P] lane pass in the depth test - a static False removes ~8/72 of
+    # the billboard work. The Trainer sets this to (num_npcs > 0); the
+    # default True keeps hand-built EnvParams(num_npcs=k) rendering correct.
+    render_npc_billboards: bool = struct.field(pytree_node=False, default=True)
     # Lap env: eval resets go to waypoint 0; training resets to the checkpoint
     # (reference: carla_lap_env.py:206-213).
 

@@ -451,6 +451,10 @@ def _visible_props(
     b_hwd = phwd.reshape(-1)
 
     # NPC vehicles: positions from their road coordinates (s, lateral).
+    # Statically pruned when params.render_npc_billboards is False (all
+    # slots would be class NONE; see EnvParams for the cost reasoning).
+    if not params.render_npc_billboards:
+        return b_pos, b_cls, b_hgt, b_hwd
     M = state.npc_s.shape[0]
     length_f = track.length.astype(jnp.float32)
     npc_wp = jnp.where(

@@ -118,6 +118,7 @@ class Trainer:
             reward_fn=settings.reward_fn,
             num_npcs=jnp.int32(settings.num_npcs),
             terminate_on_collision=settings.num_npcs > 0,
+            render_npc_billboards=settings.num_npcs > 0,
         )
         if env_params is not None:
             self.env_params = env_params

@@ -188,3 +188,22 @@ def test_vector_npc_trains(rich_params):
     )
     assert int(ts2.iteration) == 1
     assert np.isfinite(float(metrics["train_loss/loss"]))
+
+
+def test_npc_billboard_prune_bit_identical(rich_params):
+    """render_npc_billboards=False (the Trainer's num_npcs=0 program) must
+    render EXACTLY what the default program renders when no NPC is active:
+    every NPC slot is class NONE, so the pruned pass drops only provably
+    invisible candidates."""
+    no_npc = rich_params.replace(num_npcs=jnp.int32(0))
+    pruned = no_npc.replace(render_npc_billboards=False)
+    s = lap_env.reset(no_npc, jax.random.PRNGKey(4))
+    for _ in range(40):
+        s, _ = lap_env.step(s, jnp.array([0.1, 0.7]), no_npc)
+    full = np.asarray(R.render_semantic(s, no_npc))
+    fast = np.asarray(R.render_semantic(s, pruned))
+    np.testing.assert_array_equal(full, fast)
+    # The pruned program must still paint props (only NPC slots go away).
+    assert (fast == int(SegClass.BUILDINGS)).any() or (
+        fast == int(SegClass.FENCES)
+    ).any()
