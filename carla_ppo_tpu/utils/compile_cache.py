@@ -51,19 +51,23 @@ def enable(cache_dir: str | None = None) -> str | None:
     if env == "0":
         return None
     if cache_dir is None:
-        # Partition by the requested platform: CPU AOT executables embed the
-        # compiling machine's CPU features, and the remote-compile service's
-        # machine differs from this host - sharing one dir makes local CPU
-        # runs load foreign-feature AOT blobs (SIGILL risk, loud warnings).
-        # CPU partitions additionally carry a host-feature fingerprint: the
-        # repo (and its cache) can move between VM types across sessions,
-        # and an entry compiled on a prior host is just as foreign.
+        # Partition by requested platform AND a host-CPU-feature fingerprint.
+        # CPU AOT executables embed the compiling machine's CPU features, and
+        # the repo (with its cache) moves between VM types across sessions -
+        # loading a prior host's blobs risks SIGILL (the loader only warns).
+        # The fingerprint must cover EVERY partition, not just ones whose
+        # JAX_PLATFORMS mentions cpu: the env var is read at import, but
+        # tests and dryrun_multichip flip the backend to cpu afterwards via
+        # jax.config.update, so any partition can accumulate CPU executables
+        # (observed: foreign-feature AOT warnings from the 'axon' dir after
+        # a VM change). Cost: a host change orphans the TPU entries too -
+        # one slow recompile per VM type, traded for never executing
+        # foreign-ISA code.
         platform = (
             os.environ.get("JAX_PLATFORMS", "axon").replace(",", "-")
             or "default"
         )
-        if "cpu" in platform:
-            platform = f"{platform}-{_cpu_fingerprint()}"
+        platform = f"{platform}-{_cpu_fingerprint()}"
         cache_dir = env or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))),
