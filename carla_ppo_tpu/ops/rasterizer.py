@@ -516,26 +516,45 @@ def billboard_pass(
     v_bot = H / 2.0 - focal * ((0.0 - cam.mount_height) / f_safe - tanp)
     v_top = H / 2.0 - focal * ((b_hgt - cam.mount_height) / f_safe - tanp)
 
-    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1) + 0.5
-    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1) + 0.5
-
-    # Candidate-major [N, P] layout: P rides the TPU lane dimension at full
-    # width (the [P, N] form puts N=72 on the lanes, padding 56/128).
-    inside = (
+    # The inside test FACTORIZES: the u-test depends only on the pixel
+    # column, the v-test only on the row. Precompute two tiny packed tables
+    # and contract them instead of evaluating the full predicate per
+    # candidate-pixel:
+    #   U[n, c] = key_n  if candidate n is valid and covers column c
+    #             INT32_MAX otherwise
+    #   V[n, r] = INT32_MIN if candidate n covers row r, INT32_MAX otherwise
+    #   best[r, c] = min_n max(U[n, c], V[n, r])
+    # max() recovers the conjunction (key_n iff both tests pass), so the
+    # per-candidate-pixel cost drops from the ~12 VPU ops of the flat
+    # [N, P] predicate (sub/abs/3 cmps/3 ands/select/pack) to max+min.
+    # key_n stashes the class id in the low 4 mantissa bits of the depth
+    # (positive-f32 bit patterns order like the floats, so an int32 min is
+    # a depth min; the 4-bit steal perturbs depth by < 2^-19 relative),
+    # giving nearest-candidate AND its class in the one reduction.
+    # Bit-identical to the flat form: U/V evaluate the same float
+    # comparisons on the same values, and a no-candidate pixel resolves to
+    # a key whose depth bits are >= +inf either way (visible stays False).
+    u = jnp.arange(W, dtype=jnp.float32) + 0.5  # [W]
+    v = jnp.arange(H, dtype=jnp.float32) + 0.5  # [H]
+    key_n = jnp.bitwise_or(
+        jnp.bitwise_and(jax.lax.bitcast_convert_type(f_safe, jnp.int32), ~15),
+        b_cls,
+    )  # [N]
+    imax = jnp.int32(2**31 - 1)
+    U = jnp.where(
         valid[:, None]
-        & (jnp.abs(u[None, :] - u_c[:, None]) <= hw_pix[:, None])
-        & (v[None, :] >= v_top[:, None])
-        & (v[None, :] <= v_bot[:, None])
-    )  # [N, P]
-    d = jnp.where(inside, f_safe[:, None], jnp.inf)
-    # Nearest candidate + its class in ONE reduction: stash the class id in
-    # the low 4 mantissa bits of the depth (positive-f32 bit patterns order
-    # like the floats, so an int32 min is a depth min; the 4-bit steal
-    # perturbs depth by < 2^-19 relative). Replaces argmin + one-hot +
-    # matvec - three more [N, P] passes - with a single fused min.
-    dbits = jax.lax.bitcast_convert_type(d, jnp.int32)
-    key = jnp.bitwise_or(jnp.bitwise_and(dbits, ~15), b_cls[:, None])
-    best = jnp.min(key, axis=0)  # [P]
+        & (jnp.abs(u[None, :] - u_c[:, None]) <= hw_pix[:, None]),
+        key_n[:, None],
+        imax,
+    )  # [N, W]
+    V = jnp.where(
+        (v[None, :] >= v_top[:, None]) & (v[None, :] <= v_bot[:, None]),
+        jnp.int32(-(2**31)),
+        imax,
+    )  # [N, H]
+    best = jnp.min(
+        jnp.maximum(U[:, None, :], V[:, :, None]), axis=0
+    ).reshape(-1)  # [P]
     best_cls = jnp.bitwise_and(best, 15)
     best_d = jax.lax.bitcast_convert_type(
         jnp.bitwise_and(best, ~15), jnp.float32
