@@ -446,7 +446,10 @@ class Trainer:
         while target <= 0 or self.iteration < target:
             it = self.iteration
 
-            if it % self.settings.eval_interval == 0:
+            # eval_interval <= 0 disables periodic eval entirely (the
+            # reference has no such switch; useful for pure-throughput runs).
+            ei = self.settings.eval_interval
+            if ei > 0 and it % ei == 0:
                 eval_metrics = self.evaluate()
                 self.writer.write_scalars(eval_metrics, it)
                 eval_reward = eval_metrics["eval/reward"]

@@ -27,6 +27,7 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "checkpoint_gold
 LAP_AGENT_DIR = "models/pretrained_agent"
 PIXEL_AGENT_DIR = "models/pixel_agent_pretrained"
 LATENT_AGENT_DIR = "models/latent_agent_pretrained"
+MIXED_AGENT_DIR = "models/mixed_agent_pretrained"
 VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
 DEPROP_VAE_DIR = "vae/models/from_seg_seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
 
@@ -135,8 +136,37 @@ def compute_latent_agent_outputs(repo_root: str = "."):
     }
 
 
+def compute_mixed_agent_outputs(repo_root: str = "."):
+    """The round-3 mixed-precision lap agent (bf16 rollout + f32 update,
+    kl_target 0.01): standard vector-obs ActorCritic, params stored f32."""
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+    from carla_ppo_tpu.models.policy import ActorCritic
+    from carla_ppo_tpu.training import ppo
+    from carla_ppo_tpu.utils.checkpoint import Checkpointer
+
+    model = ActorCritic()
+    config = ppo.PPOConfig()
+    template = ppo.create_train_state(
+        model, config, vector_obs_dim(), jax.random.PRNGKey(0)
+    )
+    ck = Checkpointer(os.path.join(repo_root, MIXED_AGENT_DIR, "checkpoints"))
+    restored = ck.restore_latest(template)
+    ck.close()
+    if restored is None:
+        raise FileNotFoundError(MIXED_AGENT_DIR)
+    obs = synthetic_vector_obs(vector_obs_dim())
+    mean, std, value = model.apply(restored.params, obs)
+    return {
+        "step": int(ck.latest_step() or -1),
+        "mean": np.asarray(mean[0]).tolist(),
+        "std": np.asarray(std).tolist(),
+        "value": float(value[0]),
+    }
+
+
 COMPUTE_FNS = {
     "lap_agent": compute_lap_agent_outputs,
+    "mixed_agent": compute_mixed_agent_outputs,
     "pixel_agent": compute_pixel_agent_outputs,
     "latent_agent": compute_latent_agent_outputs,
     "seg_vae": compute_vae_outputs,
