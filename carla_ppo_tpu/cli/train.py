@@ -90,14 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--normalize_rewards", type=bool_flag,
                         default=False,
                         help="VecNormalize-style reward scaling (config 3)")
-    parser.add_argument("--policy_dtype", type=str, default="float32",
+    parser.add_argument("--policy_dtype", type=str, default="mixed",
                         choices=["float32", "bfloat16", "mixed"],
                         help="Compute dtype of the policy/value MLP matmuls "
                              "(params and the distribution math stay float32; "
                              "bfloat16 rides the MXU ~1.5x faster at large "
-                             "env batches). 'mixed' = bfloat16 rollout + "
-                             "float32 update: f32 convergence quality at "
-                             "most of bf16's speed")
+                             "env batches). The default 'mixed' = bfloat16 "
+                             "rollout + float32 update: f32 convergence "
+                             "quality at most of bf16's speed (3.00-lap "
+                             "solves reproduced round 3, "
+                             "models/mixed_agent_pretrained)")
 
     parser.add_argument("--lr_schedule", type=schedule_flag, default=(),
                         help="Piecewise-constant lr by iteration, e.g. "

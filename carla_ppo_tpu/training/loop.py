@@ -87,7 +87,10 @@ class TrainerSettings:
     # a float32 UPDATE - exact importance sampling, so it keeps f32's
     # convergence quality while shedding most of bf16's speed win's cost
     # (pure bf16 plateaus ~2.4-2.8 laps where f32 reaches 3.00;
-    # RESULTS_round2.md).
+    # RESULTS_round2.md). Round 3 made "mixed" the CLI default after the
+    # 3.00-lap solve reproduced twice with the KL guard (VERDICT item 4:
+    # "making bf16 the safe default"); this library-level default stays
+    # float32 so programmatic TrainerSettings keep reference semantics.
     policy_dtype: str = "float32"
 
 

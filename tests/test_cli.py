@@ -79,7 +79,7 @@ def test_train_parser_round2_knobs():
 
     p = build_parser()
     args = p.parse_args(["--model_name", "m"])
-    assert args.policy_dtype == "float32"
+    assert args.policy_dtype == "mixed"  # round-3 default: quality-safe bf16 rollout
     assert args.minibatch_axis == "env"
     assert args.vae_source == "seg"
 
