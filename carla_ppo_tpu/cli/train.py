@@ -111,6 +111,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "iteration's updates once a minibatch's approx KL "
                         "exceeds this (0 = off; 0.02 is a good value for "
                         "the pixel config's post-solve stability)")
+    parser.add_argument("--adv_snr_min", type=float, default=0.0,
+                        help="advantage signal-to-noise gate: freeze a whole "
+                        "iteration's updates when std(raw advantages)/"
+                        "std(raw returns) drops below this (0 = off). On a "
+                        "solved task the value function predicts returns "
+                        "almost exactly, so this freezes training ON the "
+                        "solved manifold and auto-resumes if performance "
+                        "degrades (post-solve drift fix beyond --kl_target)")
+    parser.add_argument("--freeze_on_solve", type=int, default=0,
+                        help="after this many consecutive evals at "
+                        ">= --solve_laps laps, freeze updates (rollout/eval "
+                        "continue; an eval below the bar unfreezes). The "
+                        "production post-solve stability mechanism (0 = off)")
+    parser.add_argument("--solve_laps", type=float, default=3.0,
+                        help="lap bar for --freeze_on_solve")
     parser.add_argument("--entropy_schedule", type=schedule_flag, default=(),
                         help="Piecewise-constant entropy scale by iteration, "
                              "e.g. '0:0.003,800:0.002'")
@@ -226,9 +241,12 @@ def main(argv=None) -> None:
         lr_schedule=params["lr_schedule"],
         entropy_schedule=params["entropy_schedule"],
         kl_target=params["kl_target"],
+        adv_snr_min=params["adv_snr_min"],
     )
     settings = TrainerSettings(
         model_name=params["model_name"],
+        freeze_on_solve=params["freeze_on_solve"],
+        solve_laps=params["solve_laps"],
         num_iterations=params["num_episodes"],
         eval_interval=params["eval_interval"],
         record_eval=params["record_eval"],

@@ -36,6 +36,7 @@ def make_dp_train_iteration(
     latent_obs=None,
     vae_variables=None,
     rollout_model=None,
+    with_freeze: bool = False,
 ):
     """Build a jitted data-parallel train iteration bound to `mesh`.
 
@@ -45,8 +46,29 @@ def make_dp_train_iteration(
     renders its own envs' camera frames and encodes them locally - only the
     gradient/statistic psums cross ICI (config 2 at multi-chip scale).
     `rollout_model` = the mixed-precision behavior-policy twin
-    (ppo.train_iteration_core docstring).
+    (ppo.train_iteration_core docstring). `with_freeze` builds the variant
+    taking a third replicated bool arg (the Trainer's solve-aware freeze;
+    kept opt-in so the default program and metric set stay bit-identical).
     """
+
+    if with_freeze:
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P()),
+            out_specs=(P(), P(axis_name), P()),
+            check_vma=False,
+        )
+        def dp_iteration_f(train_state, env_states, freeze):
+            return ppo.train_iteration_core(
+                train_state, env_states, env_params, model, config,
+                axis_name=axis_name,
+                latent_obs=latent_obs, vae_variables=vae_variables,
+                rollout_model=rollout_model, freeze=freeze,
+            )
+
+        return jax.jit(dp_iteration_f)
 
     @partial(
         jax.shard_map,
@@ -75,13 +97,32 @@ def make_dp_pixel_train_iteration(
     env_params: EnvParams,
     pix=None,
     axis_name: str = DATA_AXIS,
+    with_freeze: bool = False,
 ):
     """Data-parallel variant of the end-to-end pixel iteration (config 4):
-    per-shard rendering + conv policy, psum'd gradients over ICI."""
+    per-shard rendering + conv policy, psum'd gradients over ICI.
+    `with_freeze`: see make_dp_train_iteration."""
     from carla_ppo_tpu.training import pixels as pixels_mod
 
     if pix is None:
         pix = pixels_mod.PixelConfig()
+
+    if with_freeze:
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P()),
+            out_specs=(P(), P(axis_name), P()),
+            check_vma=False,
+        )
+        def dp_iteration_f(train_state, env_states, freeze):
+            return pixels_mod.pixel_train_iteration_core(
+                train_state, env_states, env_params, model, config, pix,
+                axis_name=axis_name, freeze=freeze,
+            )
+
+        return jax.jit(dp_iteration_f)
 
     @partial(
         jax.shard_map,

@@ -92,6 +92,19 @@ class TrainerSettings:
     # "making bf16 the safe default"); this library-level default stays
     # float32 so programmatic TrainerSettings keep reference semantics.
     policy_dtype: str = "float32"
+    # Solve-aware training freeze: after this many CONSECUTIVE evals at
+    # >= solve_laps laps, iterations stop applying updates (the freeze seeds
+    # the update scan's stop flag - rollouts, metrics and evals continue and
+    # the policy holds bit-exactly); any later eval below the bar unfreezes
+    # and training resumes. 0 = off. This is the production post-solve
+    # answer (round-3 forensics: the KL guard alone cannot stop drift - the
+    # first minibatch of every iteration applies unconditionally, and on a
+    # solved task those updates are pure noise; see PPOConfig.kl_target /
+    # adv_snr_min). Not persisted: a resume re-earns the streak, engaging
+    # again after freeze_on_solve evals. The reference has no analog (it
+    # relies on keep-best-checkpoint alone, train.py:130-132).
+    freeze_on_solve: int = 0
+    solve_laps: float = 3.0
 
 
 class Trainer:
@@ -236,9 +249,11 @@ class Trainer:
                 )
             self.mesh = make_mesh(n_dev)
             self._train_dp = train_dp
+            wf = settings.freeze_on_solve > 0
             if self.obs_mode == "pixels":
                 self._dp_iteration = train_dp.make_dp_pixel_train_iteration(
-                    self.mesh, self.model, config, self.env_params, pix=self.pix
+                    self.mesh, self.model, config, self.env_params,
+                    pix=self.pix, with_freeze=wf,
                 )
             else:
                 self._dp_iteration = train_dp.make_dp_train_iteration(
@@ -249,6 +264,7 @@ class Trainer:
                     latent_obs=self.latent_obs,
                     vae_variables=self.vae_variables,
                     rollout_model=self.rollout_model,
+                    with_freeze=wf,
                 )
             self.env_states = train_dp.shard_env_batch(self.env_states, self.mesh)
             self.train_state = train_dp.replicate(self.train_state, self.mesh)
@@ -294,6 +310,9 @@ class Trainer:
         self.writer.write_hparams(hparams)
 
         self.best_eval_score = (-float("inf"), -float("inf"))
+        # Solve-aware freeze state (host-side, not checkpointed).
+        self._solve_streak = 0
+        self._frozen = False
         self._eval_rng = jax.random.PRNGKey(settings.seed + 1)
         self._nan_events = 0
 
@@ -480,10 +499,40 @@ class Trainer:
                     self.best_eval_score = eval_score
                     self.checkpointer.save(it, self.train_state)  # best-only
 
+                if self.settings.freeze_on_solve > 0:
+                    solved = (
+                        eval_metrics.get("eval/laps_completed", 0.0)
+                        >= self.settings.solve_laps - 1e-2
+                    )
+                    self._solve_streak = self._solve_streak + 1 if solved else 0
+                    should = (
+                        self._solve_streak >= self.settings.freeze_on_solve
+                    )
+                    if should and not self._frozen:
+                        print(
+                            f"Iteration {it}: task solved for "
+                            f"{self._solve_streak} consecutive evals - "
+                            "freezing updates (rollout/eval continue)",
+                            flush=True,
+                        )
+                    elif self._frozen and not should:
+                        print(
+                            f"Iteration {it}: eval fell below "
+                            f"{self.settings.solve_laps} laps - unfreezing",
+                            flush=True,
+                        )
+                    self._frozen = should
+
+            freeze = (
+                jnp.bool_(self._frozen)
+                if self.settings.freeze_on_solve > 0
+                else None
+            )
             if self.mesh is not None:
-                new_state, new_envs, m = self._dp_iteration(
-                    self.train_state, self.env_states
-                )
+                args = (self.train_state, self.env_states)
+                if freeze is not None:
+                    args = args + (freeze,)
+                new_state, new_envs, m = self._dp_iteration(*args)
             elif self.obs_mode == "pixels":
                 new_state, new_envs, m = self._pixels.pixel_train_iteration(
                     self.train_state,
@@ -492,6 +541,7 @@ class Trainer:
                     self.model,
                     self.config,
                     self.pix,
+                    freeze=freeze,
                 )
             else:
                 new_state, new_envs, m = ppo.train_iteration(
@@ -503,8 +553,11 @@ class Trainer:
                     latent_obs=self.latent_obs,
                     vae_variables=self.vae_variables,
                     rollout_model=self.rollout_model,
+                    freeze=freeze,
                 )
             metrics = {k: float(v) for k, v in m.items()}
+            if freeze is not None:
+                metrics["train/frozen"] = float(self._frozen)
 
             # Failure detection: a non-finite loss poisons the params; roll
             # back to the last checkpoint (or skip the update) instead of

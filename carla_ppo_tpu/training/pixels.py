@@ -32,6 +32,7 @@ from carla_ppo_tpu.ops import gae, rasterizer
 from carla_ppo_tpu.training.ppo import (
     PPOConfig,
     TrainState,
+    adv_snr_gate,
     make_lr_schedule,
     schedule_value,
 )
@@ -249,6 +250,7 @@ def pixel_train_iteration_core(
     config: PPOConfig,
     pix: PixelConfig = PixelConfig(),
     axis_name: str | None = None,
+    freeze=None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """One fused pixel-PPO iteration; with `axis_name` set (inside shard_map
     over a device mesh) gradients/statistics are psum'd so every device
@@ -268,6 +270,12 @@ def pixel_train_iteration_core(
         config.discount_factor, config.gae_lambda,
     )
     returns = advantages + traj.values
+    adv_snr, stop0 = adv_snr_gate(advantages, returns, config, axis_name)
+    if freeze is not None:
+        # Solve-aware freeze (TrainerSettings.freeze_on_solve): dynamic
+        # scalar, no recompile on flip; frozen iterations roll out but
+        # apply no update (policy AND the VAE aux path hold).
+        stop0 = jnp.logical_or(stop0, freeze)
     if config.normalize_advantage:
         if axis_name is None:
             advantages = gae.normalize_advantages(advantages)
@@ -336,16 +344,18 @@ def pixel_train_iteration_core(
         )
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        if config.kl_target > 0:
+        if config.kl_target > 0 or config.adv_snr_min > 0 or freeze is not None:
             # KL-guard, identical to ppo.train_iteration_core: freeze the
             # params once the policy diverges kl_target from the rollout
             # behavior policy (the post-solve collapse fix; the VAE aux
             # gradients stop too - perception only moves with the policy).
             # approx_kl is this minibatch's PRE-update divergence, so the
-            # check gates the current update too.
-            stop = jnp.logical_or(
-                stop, metrics["train/approx_kl"] > config.kl_target
-            )
+            # check gates the current update too. The advantage-SNR gate
+            # (ppo.adv_snr_gate) seeds `stop` at the iteration level.
+            if config.kl_target > 0:
+                stop = jnp.logical_or(
+                    stop, metrics["train/approx_kl"] > config.kl_target
+                )
             keep = jnp.logical_not(stop)
             sel = lambda new, old: jax.tree.map(
                 lambda a, b: jnp.where(keep, a, b), new, old
@@ -367,11 +377,13 @@ def pixel_train_iteration_core(
     ).reshape(config.num_epochs, config.num_minibatches, -1)
     (params, opt_state, _), metrics = jax.lax.scan(
         epoch_step,
-        (train_state.params, train_state.opt_state, jnp.bool_(False)),
+        (train_state.params, train_state.opt_state, stop0),
         (epoch_perm_keys, mb_keys),
     )
 
     metrics = jax.tree.map(lambda x: x.mean(), metrics)
+    if config.adv_snr_min > 0:
+        metrics["train/adv_snr"] = adv_snr
     if axis_name is not None:
         episodic = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), episodic)
         episodic["train/episodes_finished"] = (
@@ -408,10 +420,12 @@ def pixel_train_iteration(
     model: PixelActorCritic,
     config: PPOConfig,
     pix: PixelConfig = PixelConfig(),
+    freeze=None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """Single-device fused pixel iteration (see pixel_train_iteration_core)."""
     return pixel_train_iteration_core(
-        train_state, env_states, env_params, model, config, pix, axis_name=None
+        train_state, env_states, env_params, model, config, pix,
+        axis_name=None, freeze=freeze,
     )
 
 

@@ -102,6 +102,21 @@ class PPOConfig:
     # the first step of that spiral. The reference has no analog (plain
     # fixed-epoch PPO, ppo.py:218-229).
     kl_target: float = 0.0
+    # Advantage signal-to-noise gate (EXPERIMENTAL, off by default): freeze
+    # an ENTIRE iteration's updates when std(raw advantages) / std(raw
+    # returns) falls below this threshold, BEFORE advantage normalization
+    # rescales noise to unit variance. 0 disables (bit-identical).
+    # Motivation: round-3 forensics showed the KL guard alone is
+    # insufficient post-solve - each iteration's FIRST minibatch always
+    # applies (its pre-update KL is ~0 by construction), and ~100 such
+    # steps walked a solved 3.00-lap pixel policy into a never-moves
+    # attractor while 90%+ of later minibatches were frozen. HONEST STATUS:
+    # measured SNR on the lap vector config does NOT separate solved
+    # (0.17-0.50) from learning (0.07-0.19) phases, so no universal
+    # threshold exists; the production post-solve answer is the Trainer's
+    # solve-aware freeze (TrainerSettings.freeze_on_solve), which reuses
+    # this gate's freeze plumbing with an eval-based trigger instead.
+    adv_snr_min: float = 0.0
 
     @property
     def updates_per_iteration(self) -> int:
@@ -396,6 +411,36 @@ def ppo_loss(
     return loss, metrics
 
 
+def adv_snr_gate(advantages, returns, config, axis_name):
+    """(snr, stop0) for the advantage-SNR gate (PPOConfig.adv_snr_min).
+
+    snr = std(raw advantages) / std(raw returns), computed BEFORE advantage
+    normalization; stop0 seeds the update scan's freeze flag so a
+    noise-dominated iteration applies NO updates at all (the KL guard can't
+    gate the first minibatch - its pre-update KL is 0 by construction).
+    Under data parallelism the moments are global, so replicas freeze in
+    lockstep. Shared by the vector/latent scan (train_iteration_core) and
+    the pixel scan (pixels.pixel_train_iteration_core)."""
+    import jax.numpy as jnp  # local alias for clarity; module-level jnp exists
+
+    if config.adv_snr_min <= 0:
+        return jnp.float32(0.0), jnp.bool_(False)
+    if axis_name is None:
+        a_var = advantages.var()
+        r_var = returns.var()
+    else:
+        n = jax.lax.psum(jnp.float32(advantages.size), axis_name)
+
+        def gvar(x):
+            m = jax.lax.psum(x.sum(), axis_name) / n
+            return jax.lax.psum(((x - m) ** 2).sum(), axis_name) / n
+
+        a_var = gvar(advantages)
+        r_var = gvar(returns)
+    snr = jnp.sqrt(a_var) / (jnp.sqrt(r_var) + 1e-8)
+    return snr, snr < config.adv_snr_min
+
+
 def train_iteration_core(
     train_state: TrainState,
     env_states: EnvState,
@@ -406,6 +451,7 @@ def train_iteration_core(
     latent_obs: Any = None,
     vae_variables: Any = None,
     rollout_model: ActorCritic | None = None,
+    freeze: Array | None = None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """One fused PPO iteration: rollout(horizon) -> GAE -> epochs of updates.
 
@@ -466,6 +512,13 @@ def train_iteration_core(
         config.gae_lambda,
     )
     returns = advantages + traj.values  # (reference: train.py:176)
+    adv_snr, stop0 = adv_snr_gate(advantages, returns, config, axis_name)
+    if freeze is not None:
+        # Solve-aware freeze (TrainerSettings.freeze_on_solve): a DYNAMIC
+        # scalar, so flipping it between iterations never recompiles; the
+        # frozen iteration still rolls out (metrics/eval continue) but
+        # applies no update - exactly lr=0 without touching the optimizer.
+        stop0 = jnp.logical_or(stop0, freeze)
     if config.normalize_advantage:
         if axis_name is None:
             advantages = gae.normalize_advantages(advantages)  # (train.py:177)
@@ -525,15 +578,18 @@ def train_iteration_core(
             metrics = jax.lax.pmean(metrics, axis_name)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        if config.kl_target > 0:
+        if config.kl_target > 0 or config.adv_snr_min > 0 or freeze is not None:
             # KL-guard (see PPOConfig.kl_target): freeze params once the
             # policy has diverged kl_target from the rollout behavior
             # policy. approx_kl here is this minibatch's PRE-update
             # divergence, so the check gates the current update too; it is
-            # already pmean'd, so every device stops in lockstep.
-            stop = jnp.logical_or(
-                stop, metrics["train/approx_kl"] > config.kl_target
-            )
+            # already pmean'd, so every device stops in lockstep. The
+            # advantage-SNR gate (PPOConfig.adv_snr_min) seeds `stop` at
+            # the iteration level through the same freeze machinery.
+            if config.kl_target > 0:
+                stop = jnp.logical_or(
+                    stop, metrics["train/approx_kl"] > config.kl_target
+                )
             keep = jnp.logical_not(stop)
             sel = lambda new, old: jax.tree.map(
                 lambda a, b: jnp.where(keep, a, b), new, old
@@ -551,13 +607,15 @@ def train_iteration_core(
     epoch_keys = jax.random.split(perm_key, config.num_epochs)
     (params, opt_state, _), metrics = jax.lax.scan(
         epoch_step,
-        (train_state.params, train_state.opt_state, jnp.bool_(False)),
+        (train_state.params, train_state.opt_state, stop0),
         epoch_keys,
     )
 
     # Episodic means over all updates of this iteration (the reference
     # averages its tf.metrics.mean over an episode, ppo.py:149-163).
     metrics = jax.tree.map(lambda x: x.mean(), metrics)
+    if config.adv_snr_min > 0:
+        metrics["train/adv_snr"] = adv_snr
     if axis_name is not None:
         episodic = jax.tree.map(
             lambda x: jax.lax.pmean(x, axis_name), episodic
@@ -602,12 +660,13 @@ def train_iteration(
     latent_obs: Any = None,
     vae_variables: Any = None,
     rollout_model: ActorCritic | None = None,
+    freeze: Array | None = None,
 ) -> Tuple[TrainState, EnvState, Dict[str, Array]]:
     """Single-device fused PPO iteration (see train_iteration_core)."""
     return train_iteration_core(
         train_state, env_states, env_params, model, config, axis_name=None,
         latent_obs=latent_obs, vae_variables=vae_variables,
-        rollout_model=rollout_model,
+        rollout_model=rollout_model, freeze=freeze,
     )
 
 

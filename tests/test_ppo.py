@@ -373,3 +373,69 @@ def test_kl_guard_off_by_default_is_unchanged(lap_params, model, small_config):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         ts_off.params, ts_huge.params,
     )
+
+
+def test_adv_snr_gate_freezes_whole_iteration(lap_params, model, small_config):
+    """adv_snr_min (post-solve drift fix beyond kl_target): with an absurdly
+    high threshold every iteration is noise-dominated by definition, so NO
+    update applies - params and opt_state come back bit-identical - and the
+    gate's metrics report the freeze."""
+    import dataclasses as _dc
+
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    rng = jax.random.PRNGKey(5)
+    ts = ppo_mod.create_train_state(model, small_config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, small_config.num_envs, rng)
+
+    gated = _dc.replace(small_config, adv_snr_min=1e9)
+    ts_g, _, m = ppo_mod.train_iteration(ts, envs, lap_params, model, gated)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts.params, ts_g.params,
+    )
+    assert float(m["train/update_skipped"]) == 1.0
+    assert float(m["train/adv_snr"]) < 1e9
+    # Counters still advance: the iteration happened, it just applied nothing.
+    assert int(ts_g.iteration) == 1
+
+    # A vanishing threshold never freezes and matches the ungated path
+    # bit-for-bit (the gate only seeds the same freeze machinery kl_target
+    # uses; with neither triggered the select is keep=True everywhere).
+    tiny = _dc.replace(small_config, adv_snr_min=1e-30)
+    ts_t, _, m_t = ppo_mod.train_iteration(ts, envs, lap_params, model, tiny)
+    ts_off, _, _ = ppo_mod.train_iteration(ts, envs, lap_params, model, small_config)
+    assert float(m_t["train/update_skipped"]) == 0.0
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts_off.params, ts_t.params,
+    )
+
+
+def test_freeze_arg_holds_params(lap_params, model, small_config):
+    """The dynamic `freeze` arg (solve-aware freeze plumbing): True applies
+    no update at all; False is bit-identical to not passing it."""
+    from carla_ppo_tpu.envs.observations import vector_obs_dim
+
+    rng = jax.random.PRNGKey(6)
+    ts = ppo_mod.create_train_state(model, small_config, vector_obs_dim(), rng)
+    envs = ppo_mod.init_env_batch(lap_params, small_config.num_envs, rng)
+
+    ts_f, _, m_f = ppo_mod.train_iteration(
+        ts, envs, lap_params, model, small_config, freeze=jnp.bool_(True)
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts.params, ts_f.params,
+    )
+    assert float(m_f["train/update_skipped"]) == 1.0
+    assert int(ts_f.iteration) == 1  # the iteration still happened
+
+    ts_live, _, _ = ppo_mod.train_iteration(
+        ts, envs, lap_params, model, small_config, freeze=jnp.bool_(False)
+    )
+    ts_off, _, _ = ppo_mod.train_iteration(ts, envs, lap_params, model, small_config)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ts_off.params, ts_live.params,
+    )

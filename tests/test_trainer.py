@@ -209,3 +209,54 @@ def test_best_stream_restore_beats_resume_choice(small):
     assert best is not None
     assert int(best.iteration) <= best_it  # the best-stream entry, not autosave
     t2.close()
+
+
+def test_freeze_on_solve_engages_and_holds(tmp_path, monkeypatch):
+    """Solve-aware freeze (the production post-solve stability mechanism):
+    once eval reports >= solve_laps for freeze_on_solve consecutive evals,
+    later iterations apply NO update (params bit-identical); an eval below
+    the bar unfreezes."""
+    import jax
+    import jax.numpy as jnp
+
+    settings = TrainerSettings(
+        model_name="fz",
+        models_root=str(tmp_path),
+        num_iterations=4,
+        eval_interval=1,
+        eval_envs=2,
+        checkpoint_interval=100,
+        freeze_on_solve=2,
+        solve_laps=3.0,
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+    trainer = Trainer(settings, config)
+
+    fake_laps = {"v": 3.0}
+
+    real_eval = Trainer.evaluate
+
+    def fake_evaluate(self):
+        m = real_eval(self)
+        m["eval/laps_completed"] = fake_laps["v"]
+        return m
+
+    monkeypatch.setattr(Trainer, "evaluate", fake_evaluate)
+
+    params_before = {}
+
+    trainer.train(num_iterations=1)  # eval at it=0: streak 1, not frozen yet
+    assert not trainer._frozen
+    trainer.train(num_iterations=2)  # eval at it=1: streak 2 -> frozen
+    assert trainer._frozen
+    params_before = jax.tree.map(np.asarray, trainer.train_state.params)
+    trainer.train(num_iterations=3)  # frozen iteration applies nothing
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        params_before, trainer.train_state.params,
+    )
+    # An eval below the bar unfreezes and training resumes.
+    fake_laps["v"] = 0.5
+    trainer.train(num_iterations=4)
+    assert not trainer._frozen
+    trainer.close()
