@@ -34,6 +34,13 @@ def main(argv=None) -> None:
     parser.add_argument("--rich_scene", type=lambda v: bool(int(v)),
                         default=True)
     parser.add_argument("--track_seed", type=int, default=0)
+    parser.add_argument("--num_npcs", type=int, default=0,
+                        help="NPC traffic during eval (matches the traffic "
+                             "training configs; enables collision "
+                             "termination)")
+    parser.add_argument("--obs_fn", type=str, default="vector",
+                        help="ground-truth obs variant the agent was trained "
+                             "with (vector | vector_npc)")
     parser.add_argument("--reward_fn", type=str,
                         default="reward_speed_centering_angle_multiply")
     parser.add_argument("--seed", type=int, default=0)
@@ -58,8 +65,10 @@ def main(argv=None) -> None:
         rich_scene=params.rich_scene,
         seed=params.seed,
         eval_envs=params.num_envs,
+        num_npcs=params.num_npcs,
     )
-    config = ppo.PPOConfig(env_kind=params.env, num_envs=params.num_envs)
+    config = ppo.PPOConfig(env_kind=params.env, num_envs=params.num_envs,
+                           obs_fn=params.obs_fn)
     trainer = Trainer(settings, config)  # restores the latest checkpoint
 
     if trainer.checkpointer.latest_step() is None:

@@ -28,6 +28,7 @@ LAP_AGENT_DIR = "models/pretrained_agent"
 PIXEL_AGENT_DIR = "models/pixel_agent_pretrained"
 LATENT_AGENT_DIR = "models/latent_agent_pretrained"
 MIXED_AGENT_DIR = "models/mixed_agent_pretrained"
+ROUTE_LATENT_DIR = "models/route_latent_pretrained"
 VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
 DEPROP_VAE_DIR = "vae/models/from_seg_seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
 
@@ -111,9 +112,10 @@ def compute_vae_outputs(repo_root: str = ".", vae_dir: str | None = None):
     }
 
 
-def compute_latent_agent_outputs(repo_root: str = "."):
+def compute_latent_agent_outputs(repo_root: str = ".", agent_dir: str | None = None):
     """The shipped rich-scene latent agent (config 2): z64 ++ 3 measurements
-    consumed by the standard ActorCritic."""
+    consumed by the standard ActorCritic. `agent_dir` overrides for other
+    latent-obs agents (the route-latent agent shares the architecture)."""
     from carla_ppo_tpu.models.policy import ActorCritic
     from carla_ppo_tpu.training import ppo
     from carla_ppo_tpu.utils.checkpoint import Checkpointer
@@ -121,11 +123,12 @@ def compute_latent_agent_outputs(repo_root: str = "."):
     model = ActorCritic()
     config = ppo.PPOConfig()
     template = ppo.create_train_state(model, config, 67, jax.random.PRNGKey(0))
-    ck = Checkpointer(os.path.join(repo_root, LATENT_AGENT_DIR, "checkpoints"))
+    d = agent_dir or LATENT_AGENT_DIR
+    ck = Checkpointer(os.path.join(repo_root, d, "checkpoints"))
     restored = ck.restore_latest(template)
     ck.close()
     if restored is None:
-        raise FileNotFoundError(LATENT_AGENT_DIR)
+        raise FileNotFoundError(d)
     obs = synthetic_vector_obs(67)
     mean, std, value = model.apply(restored.params, obs)
     return {
@@ -169,6 +172,9 @@ COMPUTE_FNS = {
     "mixed_agent": compute_mixed_agent_outputs,
     "pixel_agent": compute_pixel_agent_outputs,
     "latent_agent": compute_latent_agent_outputs,
+    "route_latent_agent": lambda repo_root=".": compute_latent_agent_outputs(
+        repo_root, ROUTE_LATENT_DIR
+    ),
     "seg_vae": compute_vae_outputs,
     "deprop_vae": lambda repo_root=".": compute_vae_outputs(
         repo_root, DEPROP_VAE_DIR
