@@ -29,6 +29,7 @@ PIXEL_AGENT_DIR = "models/pixel_agent_pretrained"
 LATENT_AGENT_DIR = "models/latent_agent_pretrained"
 MIXED_AGENT_DIR = "models/mixed_agent_pretrained"
 ROUTE_LATENT_DIR = "models/route_latent_pretrained"
+TRAFFIC_AGENT_DIR = "models/traffic_agent_pretrained"
 VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
 DEPROP_VAE_DIR = "vae/models/from_seg_seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
 
@@ -167,6 +168,34 @@ def compute_mixed_agent_outputs(repo_root: str = "."):
     }
 
 
+def compute_traffic_agent_outputs(repo_root: str = "."):
+    """The round-3 traffic agent: vector_npc radar observations (ground
+    truth ++ nearest-NPC radar channels), standard ActorCritic."""
+    from carla_ppo_tpu.envs.observations import vector_npc_obs_dim
+    from carla_ppo_tpu.models.policy import ActorCritic
+    from carla_ppo_tpu.training import ppo
+    from carla_ppo_tpu.utils.checkpoint import Checkpointer
+
+    model = ActorCritic()
+    config = ppo.PPOConfig()
+    template = ppo.create_train_state(
+        model, config, vector_npc_obs_dim(), jax.random.PRNGKey(0)
+    )
+    ck = Checkpointer(os.path.join(repo_root, TRAFFIC_AGENT_DIR, "checkpoints"))
+    restored = ck.restore_latest(template)
+    ck.close()
+    if restored is None:
+        raise FileNotFoundError(TRAFFIC_AGENT_DIR)
+    obs = synthetic_vector_obs(vector_npc_obs_dim())
+    mean, std, value = model.apply(restored.params, obs)
+    return {
+        "step": int(ck.latest_step() or -1),
+        "mean": np.asarray(mean[0]).tolist(),
+        "std": np.asarray(std).tolist(),
+        "value": float(value[0]),
+    }
+
+
 COMPUTE_FNS = {
     "lap_agent": compute_lap_agent_outputs,
     "mixed_agent": compute_mixed_agent_outputs,
@@ -175,6 +204,7 @@ COMPUTE_FNS = {
     "route_latent_agent": lambda repo_root=".": compute_latent_agent_outputs(
         repo_root, ROUTE_LATENT_DIR
     ),
+    "traffic_agent": compute_traffic_agent_outputs,
     "seg_vae": compute_vae_outputs,
     "deprop_vae": lambda repo_root=".": compute_vae_outputs(
         repo_root, DEPROP_VAE_DIR
