@@ -30,6 +30,7 @@ LATENT_AGENT_DIR = "models/latent_agent_pretrained"
 MIXED_AGENT_DIR = "models/mixed_agent_pretrained"
 ROUTE_LATENT_DIR = "models/route_latent_pretrained"
 TRAFFIC_AGENT_DIR = "models/traffic_agent_pretrained"
+PIXEL_TURNKEY_DIR = "models/pixel_turnkey_pretrained"
 VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
 DEPROP_VAE_DIR = "vae/models/from_seg_seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
 
@@ -73,7 +74,7 @@ def compute_lap_agent_outputs(repo_root: str = "."):
     }
 
 
-def compute_pixel_agent_outputs(repo_root: str = "."):
+def compute_pixel_agent_outputs(repo_root: str = ".", agent_dir: str | None = None):
     from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
     from carla_ppo_tpu.training import pixels, ppo
     from carla_ppo_tpu.utils.checkpoint import Checkpointer
@@ -81,11 +82,12 @@ def compute_pixel_agent_outputs(repo_root: str = "."):
     model = PixelActorCritic()
     config = ppo.PPOConfig()
     template = pixels.create_pixel_train_state(model, config, jax.random.PRNGKey(0))
-    ck = Checkpointer(os.path.join(repo_root, PIXEL_AGENT_DIR, "checkpoints"))
+    d = agent_dir or PIXEL_AGENT_DIR
+    ck = Checkpointer(os.path.join(repo_root, d, "checkpoints"))
     restored = ck.restore_latest(template)
     ck.close()
     if restored is None:
-        raise FileNotFoundError(PIXEL_AGENT_DIR)
+        raise FileNotFoundError(d)
     frame = synthetic_frame(model.frame_shape)
     meas = jnp.asarray([MEASUREMENTS], jnp.float32)
     mean, std, value = model.apply(
@@ -205,6 +207,9 @@ COMPUTE_FNS = {
         repo_root, ROUTE_LATENT_DIR
     ),
     "traffic_agent": compute_traffic_agent_outputs,
+    "pixel_turnkey_agent": lambda repo_root=".": compute_pixel_agent_outputs(
+        repo_root, PIXEL_TURNKEY_DIR
+    ),
     "seg_vae": compute_vae_outputs,
     "deprop_vae": lambda repo_root=".": compute_vae_outputs(
         repo_root, DEPROP_VAE_DIR
