@@ -309,7 +309,22 @@ class Trainer:
         hparams = {**dataclasses.asdict(settings), **dataclasses.asdict(config)}
         self.writer.write_hparams(hparams)
 
+        # The best-eval score persists in a sidecar (best_score.json): a
+        # resumed run must NOT reset it, or the best-only checkpoint stream
+        # admits post-resume entries that are worse than the historical
+        # best and run_eval's "best" (= newest best-stream entry) regresses
+        # (observed round 3: a resume saved a 1.66-route eval over the
+        # original run's 1.82).
+        self._best_score_path = os.path.join(self.model_dir, "best_score.json")
         self.best_eval_score = (-float("inf"), -float("inf"))
+        if os.path.exists(self._best_score_path):
+            try:
+                import json as _json
+
+                with open(self._best_score_path) as f:
+                    self.best_eval_score = tuple(_json.load(f))
+            except (ValueError, OSError):
+                pass
         # Solve-aware freeze state (host-side, not checkpointed).
         self._solve_streak = 0
         self._frozen = False
@@ -498,6 +513,10 @@ class Trainer:
                 if eval_score > self.best_eval_score:
                     self.best_eval_score = eval_score
                     self.checkpointer.save(it, self.train_state)  # best-only
+                    import json as _json
+
+                    with open(self._best_score_path, "w") as f:
+                        _json.dump(list(eval_score), f)
 
                 if self.settings.freeze_on_solve > 0:
                     solved = (

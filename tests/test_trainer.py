@@ -260,3 +260,42 @@ def test_freeze_on_solve_engages_and_holds(tmp_path, monkeypatch):
     trainer.train(num_iterations=4)
     assert not trainer._frozen
     trainer.close()
+
+
+def test_best_score_persists_across_resume(tmp_path, monkeypatch):
+    """A resumed run must not reset the best-eval score: the best-only
+    checkpoint stream would otherwise admit worse post-resume entries and
+    run_eval's 'best' (newest best-stream entry) would regress."""
+    settings = TrainerSettings(
+        model_name="bs",
+        models_root=str(tmp_path),
+        num_iterations=1,
+        eval_interval=1,
+        eval_envs=2,
+        checkpoint_interval=100,
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+
+    laps = {"v": 3.0}
+    real_eval = Trainer.evaluate
+
+    def fake_evaluate(self):
+        m = real_eval(self)
+        m["eval/laps_completed"] = laps["v"]
+        return m
+
+    monkeypatch.setattr(Trainer, "evaluate", fake_evaluate)
+
+    t1 = Trainer(settings, config)
+    t1.train(num_iterations=1)  # eval at it=0 scores (3.0, r) -> saved
+    best_step = t1.checkpointer.latest_step()
+    assert t1.best_eval_score[0] == 3.0
+    t1.close()
+
+    # Resume with WORSE eval: must restore the score and save nothing new.
+    laps["v"] = 0.5
+    t2 = Trainer(settings, config)
+    assert t2.best_eval_score[0] == 3.0
+    t2.train(num_iterations=2)
+    assert t2.checkpointer.latest_step() == best_step
+    t2.close()
