@@ -28,6 +28,11 @@ def main(argv=None) -> None:
                         help="Video episodes to record")
     parser.add_argument("--no_video", action="store_true")
     parser.add_argument("--max_steps", type=int, default=3000)
+    parser.add_argument("--obs", type=str, default=None,
+                        choices=["vector", "latent", "pixels"],
+                        help="observation pipeline the agent was trained "
+                             "with (default: latent when --vae_model is "
+                             "given, else vector)")
     parser.add_argument("--vae_model", type=str, default=None)
     parser.add_argument("--vae_source", type=str, default="seg",
                         choices=["seg", "rgb"])
@@ -66,6 +71,7 @@ def main(argv=None) -> None:
         seed=params.seed,
         eval_envs=params.num_envs,
         num_npcs=params.num_npcs,
+        obs=params.obs,
     )
     config = ppo.PPOConfig(env_kind=params.env, num_envs=params.num_envs,
                            obs_fn=params.obs_fn)
