@@ -17,7 +17,7 @@ from carla_ppo_tpu.training.eval_host import run_eval
 from carla_ppo_tpu.training.loop import Trainer, TrainerSettings
 
 
-def main(argv=None) -> None:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Runs a trained agent (greedy)")
     parser.add_argument("--model_name", type=str, required=True,
                         help="Name of the model to run (under models/)")
@@ -57,7 +57,11 @@ def main(argv=None) -> None:
                              "keeps the Trainer's resume choice (newest "
                              "across best+autosave, usually the final "
                              "training state)")
-    params = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None) -> None:
+    params = build_parser().parse_args(argv)
 
     os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
 

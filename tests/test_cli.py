@@ -154,3 +154,37 @@ def test_train_parser_round3_knobs():
     assert schedule_flag("800:1e-4,0:3e-4") == ((0, 3e-4), (800, 1e-4))
     with pytest.raises(SystemExit):
         p.parse_args(["--model_name", "m", "--obs", "frames"])
+
+
+def test_train_parser_round3_knobs():
+    """Round-3 stability/recipe knobs parse with safe defaults."""
+    from carla_ppo_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--model_name", "m"])
+    assert args.kl_target == 0.0
+    assert args.adv_snr_min == 0.0
+    assert args.freeze_on_solve == 0
+    assert args.solve_laps == 3.0
+
+    args = p.parse_args(
+        ["--model_name", "m", "--kl_target", "0.015", "--adv_snr_min", "0.1",
+         "--freeze_on_solve", "2", "--solve_laps", "2.5"]
+    )
+    assert (args.kl_target, args.adv_snr_min) == (0.015, 0.1)
+    assert (args.freeze_on_solve, args.solve_laps) == (2, 2.5)
+
+
+def test_run_eval_parser_round3_knobs():
+    """run_eval gained --obs (pixel agents), --num_npcs/--obs_fn (traffic)."""
+    from carla_ppo_tpu.cli.run_eval import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--model_name", "m"])
+    assert args.obs is None and args.num_npcs == 0 and args.obs_fn == "vector"
+
+    args = p.parse_args(
+        ["--model_name", "m", "--obs", "pixels", "--num_npcs", "4",
+         "--obs_fn", "vector_npc"]
+    )
+    assert (args.obs, args.num_npcs, args.obs_fn) == ("pixels", 4, "vector_npc")
