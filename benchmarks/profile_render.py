@@ -63,6 +63,33 @@ def main():
         )
         results[f"render_{name}_ms"] = round(timeit(fn, states, iters=args.iters) * 1e3, 2)
 
+    # The PRODUCTION dispatch (what bench.py and the latent/pixel rollouts
+    # time): render_batch = Pallas v3d ground kernel + factorized billboard
+    # composite, with the Trainer's num_npcs=0 program (NPC slots pruned).
+    # Timed bench.py-style - a chain of calls synchronized once on a scalar
+    # fetch - because block_until_ready on the axon remote platform costs a
+    # full device->host transfer of the blocked buffer (see bench.py).
+    import time as _time
+
+    prod_params = env_params.replace(render_npc_billboards=False)
+    prod = jax.jit(
+        lambda s: R.render_batch(s, prod_params).sum(dtype=jnp.int32)
+    )
+    out = {"x": prod(states)}
+    import numpy as _np
+
+    _np.asarray(out["x"])
+    trials = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        for _ in range(args.iters):
+            out["x"] = prod(states)
+        _np.asarray(out["x"])
+        trials.append((_time.perf_counter() - t0) / args.iters)
+    import statistics as _stats
+
+    results["render_production_ms"] = round(_stats.median(trials) * 1e3, 2)
+
     # Frozen-VAE encode of a batch of frames (latent pipeline's other half).
     from carla_ppo_tpu.models import vae_common
 
