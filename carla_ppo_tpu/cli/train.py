@@ -126,6 +126,36 @@ def build_parser() -> argparse.ArgumentParser:
                         "production post-solve stability mechanism (0 = off)")
     parser.add_argument("--solve_laps", type=float, default=3.0,
                         help="lap bar for --freeze_on_solve")
+    parser.add_argument("--solve_metric", type=str, default="auto",
+                        choices=["auto", "laps", "distance"],
+                        help="metric for --freeze_on_solve: 'laps', "
+                             "'distance' (>= --solve_distance; the route "
+                             "config's 3000 m budget), or 'auto' (distance "
+                             "for --env route, laps otherwise)")
+    parser.add_argument("--solve_distance", type=float, default=2995.0,
+                        help="distance bar (m) when the solve metric is "
+                             "'distance'")
+    parser.add_argument("--best_key", type=str, default="progress",
+                        choices=["progress", "finished_first"],
+                        help="best-checkpoint ranking: 'progress' = (laps, "
+                             "reward); 'finished_first' additionally ranks "
+                             "evals whose episodes actually concluded above "
+                             "eval-budget survivors (kills the slow-crawler "
+                             "artifact on traffic configs)")
+    parser.add_argument("--stall_timeout", type=float, default=0.0,
+                        help="exit with code 17 when no iteration completes "
+                             "for this many seconds (wedged-RPC recovery; "
+                             "scripts/train_unattended.sh relaunches and "
+                             "training auto-resumes). 0 = off. Use >= 1800 "
+                             "on a cold compile cache")
+    parser.add_argument("--junction_spawn_prob", type=float, default=0.0,
+                        help="route env: probability a training reset spawns "
+                             "just before a junction (failure-driven junction "
+                             "curriculum; eval always spawns at route start)")
+    parser.add_argument("--eval_envs", type=int, default=4,
+                        help="parallel greedy-eval episodes per eval (more = "
+                             "less spawn-draw noise in the solve/best "
+                             "criteria at the same wall-clock)")
     parser.add_argument("--entropy_schedule", type=schedule_flag, default=(),
                         help="Piecewise-constant entropy scale by iteration, "
                              "e.g. '0:0.003,800:0.002'")
@@ -247,6 +277,12 @@ def main(argv=None) -> None:
         model_name=params["model_name"],
         freeze_on_solve=params["freeze_on_solve"],
         solve_laps=params["solve_laps"],
+        solve_metric=params["solve_metric"],
+        solve_distance=params["solve_distance"],
+        best_key=params["best_key"],
+        stall_timeout_s=params["stall_timeout"],
+        junction_spawn_prob=params["junction_spawn_prob"],
+        eval_envs=params["eval_envs"],
         num_iterations=params["num_episodes"],
         eval_interval=params["eval_interval"],
         record_eval=params["record_eval"],

@@ -309,11 +309,14 @@ def step(
         ),
     )
 
+    # npc_s rides along so reward shaping (rewards.reward_traffic_add) sees
+    # the same post-tick NPC positions the collision test above used.
     mid = mid.replace(
         distance_from_center=distance_from_center,
         angle_to_road=angle,
         collision=collision,
         lane_invasion=lane_invasion,
+        npc_s=npc_s,
     )
 
     reward, terminal, reason, low_speed_timer = rewards.step_reward(
@@ -323,7 +326,6 @@ def step(
     total_reward = state.total_reward + reward
 
     next_state = mid.replace(
-        npc_s=npc_s,
         checkpoint_idx=checkpoint_idx,
         low_speed_timer=low_speed_timer,
         step_count=step_count,

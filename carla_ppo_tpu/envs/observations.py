@@ -94,6 +94,34 @@ def vector_obs_dim() -> int:
 NPC_RADAR_RANGE = 50.0
 
 
+def npc_gaps(state: EnvState, params: EnvParams) -> tuple[Array, Array, Array]:
+    """Frenet-frame gaps ego -> each NPC slot: (ds, dlat, active).
+
+    `ds` is the along-track gap in waypoint units (~m, positive = NPC ahead),
+    wrapped to the nearest representative on loops - the same math as the
+    collision test in lap_env.step; `dlat` the signed lateral offset of the
+    NPC relative to the ego; `active` masks the live slots. Shared by the
+    radar observation and the traffic-aware reward shaping so all three
+    layers (collision, obs, reward) agree on the geometry.
+    """
+    track = params.track
+    cur = wp_gather(track.pos, state.waypoint_idx, track.length, track.is_loop)
+    nxt = wp_gather(track.pos, state.waypoint_idx + 1, track.length, track.is_loop)
+    ego_lat = geometry.signed_distance_to_line(cur, nxt, state.vehicle.pos)
+
+    length_f = track.length.astype(jnp.float32)
+    ego_s = state.waypoint_idx.astype(jnp.float32)
+    active = jnp.arange(state.npc_s.shape[0]) < params.num_npcs
+    ds = state.npc_s - ego_s
+    ds = jnp.where(
+        track.is_loop,
+        jnp.mod(ds + length_f / 2.0, length_f) - length_f / 2.0,
+        ds,
+    )
+    dlat = state.npc_lateral - ego_lat
+    return ds, dlat, active
+
+
 def vector_npc_obs(state: EnvState, params: EnvParams) -> Array:
     """`vector_obs` ++ radar-style traffic features, [obs_dim + 6] float32.
 
@@ -115,31 +143,16 @@ def vector_npc_obs(state: EnvState, params: EnvParams) -> Array:
     lap_env.step; on loops the gap wraps around the circuit.
     """
     base = vector_obs(state, params)
-    track = params.track
     rp = params.reward
 
-    cur = wp_gather(track.pos, state.waypoint_idx, track.length, track.is_loop)
-    nxt = wp_gather(track.pos, state.waypoint_idx + 1, track.length, track.is_loop)
-    ego_lat = geometry.signed_distance_to_line(cur, nxt, state.vehicle.pos)
-
-    length_f = track.length.astype(jnp.float32)
-    ego_s = state.waypoint_idx.astype(jnp.float32)
-    active = jnp.arange(state.npc_s.shape[0]) < params.num_npcs
-    ds = state.npc_s - ego_s
-    # Wrap to the nearest representative on loops (same math as the
-    # collision test, lap_env.step).
-    ds = jnp.where(
-        track.is_loop,
-        jnp.mod(ds + length_f / 2.0, length_f) - length_f / 2.0,
-        ds,
-    )
+    ds, dlat, active = npc_gaps(state, params)
 
     def radar(gap: Array) -> list:
         """gap >= 0 along one direction; inf where inactive/other side."""
         nearest = jnp.min(jnp.where(active & (gap >= 0.0), gap, jnp.inf))
         idx = jnp.argmin(jnp.where(active & (gap >= 0.0), gap, jnp.inf))
         in_range = nearest < NPC_RADAR_RANGE
-        rel_lat = (state.npc_lateral[idx] - ego_lat) / rp.max_distance
+        rel_lat = dlat[idx] / rp.max_distance
         closing = (
             3.6 * (state.vehicle.speed - state.npc_speed[idx]) / rp.target_speed
         )

@@ -98,6 +98,61 @@ def reward_speed_centering_angle_multiply(
     )
 
 
+# Along-track window (m) around an NPC inside which the centering term is
+# waived: an overtake NEEDS lateral offset, and punishing it teaches
+# tailgating instead of passing (measured round 3: the multiplicative reward
+# capped the traffic agent at NPC-following pace, the plain additive one
+# produced overtakes that ended in collisions - RESULTS_round3.md).
+OVERTAKE_WINDOW = 15.0
+# Proximity shaping: penalty ramps from 0 at PROXIMITY_RANGE meters of
+# box-clearance to PROXIMITY_SCALE at contact with the collision box.
+PROXIMITY_RANGE = 6.0
+PROXIMITY_SCALE = 1.5
+
+
+@register("reward_traffic_add")
+def reward_traffic_add(state: EnvState, params: EnvParams) -> Array:
+    """Additive reward with traffic-aware shaping (no reference analog - the
+    reference never trains against traffic; its collision sensor is
+    HUD-only, reference: carla_lap_env.py:453-459).
+
+    speed + centering' + angle - proximity, where
+
+    - centering' waives the centering term while any live NPC is within
+      OVERTAKE_WINDOW along-track: lateral offset during a pass is free
+      (road-edge termination still bounds it);
+    - proximity penalizes closing on an NPC's collision box: with d the
+      Euclidean clearance OUTSIDE the box (axis-wise slack in the same
+      Frenet frame as the collision test, lap_env.step),
+      penalty = PROXIMITY_SCALE * max(0, 1 - d / PROXIMITY_RANGE).
+      At box contact (d=0, one step from termination) the penalty equals
+      -1.5: a smooth approach gradient toward keeping a passing margin.
+    """
+    from carla_ppo_tpu.envs.observations import npc_gaps
+
+    rp = params.reward
+    ds, dlat, active = npc_gaps(state, params)
+
+    near = jnp.any(active & (jnp.abs(ds) < OVERTAKE_WINDOW))
+    centering = jnp.where(near, 1.0, _centering_factor(state, rp))
+
+    slack_s = jnp.maximum(jnp.abs(ds) - params.npc_collision_s, 0.0)
+    slack_l = jnp.maximum(jnp.abs(dlat) - params.npc_collision_lat, 0.0)
+    clearance = jnp.sqrt(slack_s**2 + slack_l**2)
+    danger = jnp.max(
+        jnp.where(
+            active, jnp.maximum(1.0 - clearance / PROXIMITY_RANGE, 0.0), 0.0
+        )
+    )
+
+    return (
+        _speed_reward(3.6 * state.vehicle.speed, rp)
+        + centering
+        + _angle_factor(state, rp)
+        - PROXIMITY_SCALE * danger
+    )
+
+
 def step_reward(
     state: EnvState, params: EnvParams, extra_terminal: Array, extra_reason: Array
 ) -> tuple[Array, Array, Array, Array]:

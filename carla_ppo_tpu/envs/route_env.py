@@ -58,34 +58,67 @@ def _num_routes(bank: TrackData) -> int:
 
 
 def _spawn_on_route(
-    state: EnvState, bank: TrackData, route_id: Array
+    state: EnvState, bank: TrackData, route_id: Array, start_idx: Array | int = 0
 ) -> EnvState:
     track = route_track(bank, route_id)
-    pos = track.pos[0]
-    fwd = track.fwd[0]
+    start_idx = jnp.asarray(start_idx, jnp.int32)
+    pos = jnp.take(track.pos, start_idx, axis=0)
+    fwd = jnp.take(track.fwd, start_idx, axis=0)
     yaw = jnp.arctan2(fwd[1], fwd[0])
     return state.replace(
         vehicle=VehicleState.create(pos, yaw),
         control=jnp.zeros((2,), jnp.float32),
-        waypoint_idx=jnp.int32(0),
-        start_waypoint_idx=jnp.int32(0),
+        waypoint_idx=start_idx,
+        start_waypoint_idx=start_idx,
         route_id=route_id,
         prev_pos=pos,
     )
+
+
+def _junction_spawn_idx(track: TrackData, params: EnvParams, key: Array) -> Array:
+    """A random waypoint `junction_spawn_backoff` before a junction segment
+    of `track` (uniform over its junction waypoints); 0 when the route has
+    none. Junction waypoints carry the LEFT/RIGHT/STRAIGHT maneuvers the
+    planner paints (envs/route_planner); LANEFOLLOW/CHANGELANE are open road.
+    """
+    from carla_ppo_tpu.envs.types import RoadOption
+
+    m = track.maneuver
+    live = jnp.arange(m.shape[0]) < track.length
+    is_junction = (
+        (m == RoadOption.LEFT) | (m == RoadOption.RIGHT) | (m == RoadOption.STRAIGHT)
+    ) & live
+    # Uniform pick among masked indices: argmax of masked uniforms.
+    u = jax.random.uniform(key, m.shape)
+    pick = jnp.argmax(jnp.where(is_junction, u, -1.0)).astype(jnp.int32)
+    idx = jnp.maximum(pick - params.junction_spawn_backoff, 0)
+    return jnp.where(jnp.any(is_junction), idx, jnp.int32(0))
 
 
 def reset(
     params: EnvParams, rng: Array, is_training: Array | bool = True
 ) -> EnvState:
     """Fresh episode on a random route (reference: carla_route_env.py:189-240;
-    note its reset leaves metrics zeroed and new_route picks random spawns)."""
+    note its reset leaves metrics zeroed and new_route picks random spawns).
+
+    Training resets optionally spawn just before a junction with probability
+    `params.junction_spawn_prob` (see the field's docstring); eval always
+    spawns at the route start like the reference."""
     bank = params.track
-    rng, k_route = jax.random.split(rng)
+    rng, k_route, k_bias, k_pick = jax.random.split(rng, 4)
     route_id = jax.random.randint(k_route, (), 0, _num_routes(bank))
     state = default_env_state(route_track(bank, route_id), rng)
-    state = state.replace(is_training=jnp.asarray(is_training, jnp.bool_))
-    state = _spawn_on_route(state, bank, route_id)
-    return lap_env._with_derived(state, params.replace(track=route_track(bank, route_id)))
+    is_training = jnp.asarray(is_training, jnp.bool_)
+    state = state.replace(is_training=is_training)
+    track = route_track(bank, route_id)
+    bias = is_training & (
+        jax.random.uniform(k_bias) < params.junction_spawn_prob
+    )
+    start_idx = jnp.where(
+        bias, _junction_spawn_idx(track, params, k_pick), jnp.int32(0)
+    )
+    state = _spawn_on_route(state, bank, route_id, start_idx)
+    return lap_env._with_derived(state, params.replace(track=track))
 
 
 @partial(jax.jit, static_argnames=("obs_fn",))

@@ -338,6 +338,19 @@ class EnvParams:
     # Spawn jitter (domain randomization), meters / radians std.
     spawn_pos_noise: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))
     spawn_yaw_noise: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))
+    # Route env, training only: probability that a fresh episode spawns
+    # `junction_spawn_backoff` waypoints before a random junction segment of
+    # its route instead of at the route start. A failure-driven curriculum
+    # for junction traversal: greedy-eval deaths concentrate at junctions
+    # (round-3 route-latent calibration gap, ROADMAP item 1), and spawning
+    # ahead of them multiplies junction experience per env-step. 0 = off
+    # (reference parity: carla_route_env.py:189-240 spawns at route start).
+    junction_spawn_prob: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
+    junction_spawn_backoff: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(25)
+    )
     # NPC traffic: how many of the NUM_NPC_SLOTS are live (0 = no traffic,
     # the reference-parity default), their speed range (m/s), and the
     # ego-overlap box that counts as a collision (half-length/width, m).

@@ -105,6 +105,31 @@ class TrainerSettings:
     # relies on keep-best-checkpoint alone, train.py:130-132).
     freeze_on_solve: int = 0
     solve_laps: float = 3.0
+    # Solve bar metric for freeze_on_solve: "laps" (eval laps_completed -
+    # routes_completed on the route env rides the same slot), "distance"
+    # (eval distance_traveled >= solve_distance; the route config's 3000 m
+    # budget is distance-keyed, carla_route_env.py:381-383), or "auto":
+    # distance for route, laps otherwise.
+    solve_metric: str = "auto"
+    solve_distance: float = 2995.0
+    # Best-checkpoint ranking: "progress" = (laps, reward), the round-2
+    # criterion; "finished_first" = (finished, laps, reward), which ranks
+    # any eval that actually CONCLUDED its episodes (finished, crashed, or
+    # hit the distance budget) above budget-survivors - killing the
+    # slow-crawler artifact where a 13.8 km/h NPC-follower out-"laps" fast
+    # imperfect drivers by farming the whole 26k-step eval budget
+    # (RESULTS_round3.md, traffic_npc_r3). A true solve terminates its
+    # episode, so the final ranking is unchanged; only crawlers demote.
+    best_key: str = "progress"
+    # Stall watchdog: exit the process (code utils.watchdog.STALL_EXIT_CODE)
+    # when no iteration completes for this many seconds - the recovery for
+    # the axon platform's occasional wedged-RPC futex hang (ROADMAP item 7;
+    # scripts/train_unattended.sh relaunches and training auto-resumes).
+    # 0 = off.
+    stall_timeout_s: float = 0.0
+    # Route env: probability a training reset spawns just before a junction
+    # (EnvParams.junction_spawn_prob; failure-driven junction curriculum).
+    junction_spawn_prob: float = 0.0
 
 
 class Trainer:
@@ -135,6 +160,7 @@ class Trainer:
             num_npcs=jnp.int32(settings.num_npcs),
             terminate_on_collision=settings.num_npcs > 0,
             render_npc_billboards=settings.num_npcs > 0,
+            junction_spawn_prob=jnp.float32(settings.junction_spawn_prob),
         )
         if env_params is not None:
             self.env_params = env_params
@@ -316,20 +342,44 @@ class Trainer:
         # (observed round 3: a resume saved a 1.66-route eval over the
         # original run's 1.82).
         self._best_score_path = os.path.join(self.model_dir, "best_score.json")
-        self.best_eval_score = (-float("inf"), -float("inf"))
+        score_len = 3 if settings.best_key == "finished_first" else 2
+        self.best_eval_score = (-float("inf"),) * score_len
         if os.path.exists(self._best_score_path):
             try:
                 import json as _json
 
                 with open(self._best_score_path) as f:
-                    self.best_eval_score = tuple(_json.load(f))
+                    loaded = tuple(_json.load(f))
+                if len(loaded) == score_len:
+                    self.best_eval_score = loaded
+                else:
+                    print(
+                        f"best_score.json has {len(loaded)} components but "
+                        f"best_key={settings.best_key!r} ranks by {score_len};"
+                        " starting the best-checkpoint bar fresh",
+                        flush=True,
+                    )
             except (ValueError, OSError):
                 pass
+        # Solve bar metric ("auto": the route config's solve is its 3000 m
+        # distance budget; everything else is laps-keyed).
+        self._solve_metric = settings.solve_metric
+        if self._solve_metric == "auto":
+            self._solve_metric = (
+                "distance" if config.env_kind == "route" else "laps"
+            )
+        if self._solve_metric not in ("laps", "distance"):
+            raise ValueError(f"unknown solve_metric {settings.solve_metric!r}")
         # Solve-aware freeze state (host-side, not checkpointed).
         self._solve_streak = 0
         self._frozen = False
         self._eval_rng = jax.random.PRNGKey(settings.seed + 1)
         self._nan_events = 0
+        self._watchdog = None
+        if settings.stall_timeout_s > 0:
+            from carla_ppo_tpu.utils.watchdog import StallWatchdog
+
+            self._watchdog = StallWatchdog(settings.stall_timeout_s)
 
     @property
     def iteration(self) -> int:
@@ -482,12 +532,16 @@ class Trainer:
         metrics: Dict[str, float] = {}
         while target <= 0 or self.iteration < target:
             it = self.iteration
+            if self._watchdog is not None:
+                self._watchdog.beat()
 
             # eval_interval <= 0 disables periodic eval entirely (the
             # reference has no such switch; useful for pure-throughput runs).
             ei = self.settings.eval_interval
             if ei > 0 and it % ei == 0:
                 eval_metrics = self.evaluate()
+                if self._watchdog is not None:
+                    self._watchdog.beat()  # evals can legitimately take long
                 self.writer.write_scalars(eval_metrics, it)
                 eval_reward = eval_metrics["eval/reward"]
                 print(
@@ -506,10 +560,17 @@ class Trainer:
                 # episode, capping its reward below an almost-done episode
                 # that farms per-step reward for the whole eval budget - a
                 # reward-only rule would keep the non-finisher.
-                eval_score = (
-                    round(eval_metrics.get("eval/laps_completed", 0.0), 2),
-                    eval_reward,
-                )
+                progress = round(eval_metrics.get("eval/laps_completed", 0.0), 2)
+                if self.settings.best_key == "finished_first":
+                    # Concluded episodes outrank budget-survivors (see the
+                    # best_key docstring; kills the slow-crawler artifact).
+                    eval_score = (
+                        round(eval_metrics.get("eval/finished", 0.0), 2),
+                        progress,
+                        eval_reward,
+                    )
+                else:
+                    eval_score = (progress, eval_reward)
                 if eval_score > self.best_eval_score:
                     self.best_eval_score = eval_score
                     self.checkpointer.save(it, self.train_state)  # best-only
@@ -519,10 +580,16 @@ class Trainer:
                         _json.dump(list(eval_score), f)
 
                 if self.settings.freeze_on_solve > 0:
-                    solved = (
-                        eval_metrics.get("eval/laps_completed", 0.0)
-                        >= self.settings.solve_laps - 1e-2
-                    )
+                    if self._solve_metric == "distance":
+                        solved = (
+                            eval_metrics.get("eval/distance_traveled", 0.0)
+                            >= self.settings.solve_distance
+                        )
+                    else:
+                        solved = (
+                            eval_metrics.get("eval/laps_completed", 0.0)
+                            >= self.settings.solve_laps - 1e-2
+                        )
                     self._solve_streak = self._solve_streak + 1 if solved else 0
                     should = (
                         self._solve_streak >= self.settings.freeze_on_solve
@@ -535,9 +602,14 @@ class Trainer:
                             flush=True,
                         )
                     elif self._frozen and not should:
+                        bar = (
+                            f"{self.settings.solve_distance} m"
+                            if self._solve_metric == "distance"
+                            else f"{self.settings.solve_laps} laps"
+                        )
                         print(
-                            f"Iteration {it}: eval fell below "
-                            f"{self.settings.solve_laps} laps - unfreezing",
+                            f"Iteration {it}: eval fell below {bar} - "
+                            "unfreezing",
                             flush=True,
                         )
                     self._frozen = should
@@ -627,6 +699,8 @@ class Trainer:
         return metrics
 
     def close(self) -> None:
+        if self._watchdog is not None:
+            self._watchdog.stop()
         self.writer.close()
         if hasattr(self, "_video_env"):
             self._video_env.close()

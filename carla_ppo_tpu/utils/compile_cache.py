@@ -11,6 +11,16 @@ compile latency IS the startup cost, making the cache part of the product.
 
 Env overrides: CARLA_PPO_CACHE_DIR picks the location (default
 <repo>/.jax_cache); CARLA_PPO_CACHE_DIR=0 disables.
+
+Known-benign noise: reloading a CPU AOT entry logs a loud
+"Target machine feature +prefer-no-scatter is not supported on the host
+machine" warning EVEN FOR SAME-HOST ENTRIES - XLA:CPU compiles with
+model-derived tuning preferences (prefer-no-scatter/gather) that its
+loader's host-feature check doesn't recognize as satisfiable (verified by
+compiling and reloading in back-to-back processes on one machine: the
+second process warns, round 4). Real foreign-ISA loads list genuinely
+missing ISA features (avx512*, amx*); those are what the fingerprint
+partitioning prevents.
 """
 
 from __future__ import annotations
@@ -21,16 +31,31 @@ _enabled = False
 
 
 def _cpu_fingerprint() -> str:
-    """Short stable hash of the host's CPU feature flags (for partitioning
-    CPU AOT cache entries by the machine that can actually run them)."""
+    """Short stable hash of the host's CPU model + feature flags (for
+    partitioning CPU AOT cache entries by the machine that can actually run
+    them).
+
+    The model name matters beyond the flags: XLA derives tuning target
+    features from the CPU FAMILY (e.g. +prefer-no-scatter on some Intel
+    generations) that never appear in /proc/cpuinfo, so two hosts with
+    identical flag sets can still produce mutually-foreign AOT blobs
+    (observed round 3: loud feature-mismatch warnings from a flags-keyed
+    partition after a VM change)."""
     import hashlib
 
     try:
+        feats = ""
+        model = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not feats and line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+                elif not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                if feats and model:
+                    break
+        if feats or model:
+            return hashlib.sha256(f"{model}|{feats}".encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform as _platform

@@ -156,8 +156,11 @@ def test_train_parser_round3_knobs():
         p.parse_args(["--model_name", "m", "--obs", "frames"])
 
 
-def test_train_parser_round3_knobs():
-    """Round-3 stability/recipe knobs parse with safe defaults."""
+def test_train_parser_round3_stability_knobs():
+    """Round-3 stability/recipe knobs parse with safe defaults.
+
+    (Renamed: this previously shadowed test_train_parser_round3_knobs by
+    sharing its name, so the schedule-knob test above never ran.)"""
     from carla_ppo_tpu.cli.train import build_parser
 
     p = build_parser()
@@ -173,6 +176,36 @@ def test_train_parser_round3_knobs():
     )
     assert (args.kl_target, args.adv_snr_min) == (0.015, 0.1)
     assert (args.freeze_on_solve, args.solve_laps) == (2, 2.5)
+
+
+def test_train_parser_round4_knobs():
+    """Round-4 knobs: solve-metric generalization, finished-first best key,
+    stall watchdog, junction curriculum, eval batch size."""
+    from carla_ppo_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--model_name", "m"])
+    assert args.solve_metric == "auto"
+    assert args.solve_distance == 2995.0
+    assert args.best_key == "progress"
+    assert args.stall_timeout == 0.0
+    assert args.junction_spawn_prob == 0.0
+    assert args.eval_envs == 4
+
+    args = p.parse_args(
+        ["--model_name", "m", "--solve_metric", "distance",
+         "--solve_distance", "2990", "--best_key", "finished_first",
+         "--stall_timeout", "1200", "--junction_spawn_prob", "0.5",
+         "--eval_envs", "16"]
+    )
+    assert args.solve_metric == "distance"
+    assert args.solve_distance == 2990.0
+    assert args.best_key == "finished_first"
+    assert args.stall_timeout == 1200.0
+    assert args.junction_spawn_prob == 0.5
+    assert args.eval_envs == 16
+    with pytest.raises(SystemExit):
+        p.parse_args(["--model_name", "m", "--best_key", "bogus"])
 
 
 def test_run_eval_parser_round3_knobs():

@@ -118,3 +118,88 @@ def test_env_terminal_passthrough(lap_params):
     assert bool(term)
     assert int(reason) == TerminationReason.LAPS_DONE
     assert float(r) == pytest.approx(-10.0)
+
+
+def npc_state(lap_params, ds, dlat, speed_ms=20.0 / 3.6, dist_center=0.0):
+    """State with one live NPC at along-track gap `ds`, lateral `dlat`
+    (ego spawns at waypoint 0 on the lane center, so ego_s = ego_lat = 0)."""
+    s = make_state(lap_params, speed_ms=speed_ms, dist_center=dist_center)
+    return s.replace(
+        npc_s=s.npc_s.at[0].set(jnp.float32(ds)),
+        npc_lateral=s.npc_lateral.at[0].set(jnp.float32(dlat)),
+        npc_speed=s.npc_speed.at[0].set(jnp.float32(4.0)),
+    )
+
+
+def traffic_params(lap_params, n=1):
+    return lap_params.replace(num_npcs=jnp.int32(n))
+
+
+def test_traffic_reward_matches_additive_without_npcs(lap_params):
+    """num_npcs=0: reward_traffic_add is exactly the additive reward."""
+    for speed, dist, angle in [(10.0, 1.0, 0.1), (20.0, 2.0, -0.2)]:
+        s = make_state(lap_params, speed / 3.6, dist, angle)
+        got = float(rewards.reward_functions["reward_traffic_add"](s, lap_params))
+        want = float(
+            rewards.reward_functions["reward_speed_centering_angle_add"](
+                s, lap_params
+            )
+        )
+        assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_traffic_reward_far_npc_is_additive(lap_params):
+    """An NPC beyond OVERTAKE_WINDOW and PROXIMITY_RANGE changes nothing."""
+    p = traffic_params(lap_params)
+    s = npc_state(p, ds=100.0, dlat=0.0, dist_center=1.0)
+    got = float(rewards.reward_functions["reward_traffic_add"](s, p))
+    want = float(
+        rewards.reward_functions["reward_speed_centering_angle_add"](s, p)
+    )
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_traffic_reward_waives_centering_near_npc(lap_params):
+    """Inside the overtake window with full lateral clearance: the centering
+    term reads 1.0 regardless of offset (lateral offset during a pass is
+    free), and no proximity penalty at >= PROXIMITY_RANGE box clearance."""
+    p = traffic_params(lap_params)
+    # ds=10 (inside window), dlat big enough that box clearance >= 6.
+    s = npc_state(p, ds=10.0, dlat=9.0, dist_center=2.0, speed_ms=20.0 / 3.6)
+    got = float(rewards.reward_functions["reward_traffic_add"](s, p))
+    # speed term = 1.0 (20 km/h in band), centering waived -> 1.0, angle 1.0.
+    assert got == pytest.approx(3.0, abs=1e-4)
+
+
+def test_traffic_reward_proximity_penalty_ramp(lap_params):
+    """Penalty is PROXIMITY_SCALE at box contact and ramps linearly to 0 at
+    PROXIMITY_RANGE meters of clearance."""
+    p = traffic_params(lap_params)
+    fn = rewards.reward_functions["reward_traffic_add"]
+    base = 3.0  # speed 1 + waived centering 1 + angle 1
+
+    # Box contact: |ds| = npc_collision_s (4.0), dlat = 0 -> clearance 0.
+    s = npc_state(p, ds=4.0, dlat=0.0)
+    assert float(fn(s, p)) == pytest.approx(base - rewards.PROXIMITY_SCALE, abs=1e-4)
+
+    # Half-range clearance: ds = 4 + 3 -> clearance 3 -> half penalty.
+    s = npc_state(p, ds=7.0, dlat=0.0)
+    assert float(fn(s, p)) == pytest.approx(
+        base - 0.5 * rewards.PROXIMITY_SCALE, abs=1e-4
+    )
+
+    # Laterally clear: ds = 4, dlat = collision_lat + 6 -> no penalty.
+    s = npc_state(p, ds=4.0, dlat=1.5 + 6.0)
+    assert float(fn(s, p)) == pytest.approx(base, abs=1e-4)
+
+
+def test_traffic_reward_inactive_slots_ignored(lap_params):
+    """Slot 0 is populated but num_npcs=0: the NPC must be invisible."""
+    s = npc_state(lap_params, ds=4.0, dlat=0.0, dist_center=1.0)
+    got = float(rewards.reward_functions["reward_traffic_add"](s, lap_params))
+    want = float(
+        rewards.reward_functions["reward_speed_centering_angle_add"](
+            s, lap_params
+        )
+    )
+    assert got == pytest.approx(want, abs=1e-5)

@@ -273,3 +273,33 @@ def test_dual_lane_road_renders_wider(town):
     road = frame == int(SegClass.ROADS)
     road_sym = frame_sym == int(SegClass.ROADS)
     assert road.sum() > road_sym.sum() * 1.3, (road.sum(), road_sym.sum())
+
+
+def test_junction_spawn_curriculum(rparams):
+    """junction_spawn_prob=1: every training reset spawns with a junction
+    segment no more than `junction_spawn_backoff` waypoints ahead; eval
+    resets stay at the route start (reference parity)."""
+    p = rparams.replace(junction_spawn_prob=jnp.float32(1.0))
+    keys = jax.random.split(jax.random.PRNGKey(7), 24)
+    states = jax.vmap(lambda k: route_env.reset(p, k, is_training=True))(keys)
+    idx = np.asarray(states.waypoint_idx)
+    rid = np.asarray(states.route_id)
+    man = np.asarray(rparams.track.maneuver)
+    length = np.asarray(rparams.track.length)
+    backoff = int(rparams.junction_spawn_backoff)
+    junction = {RoadOption.LEFT, RoadOption.RIGHT, RoadOption.STRAIGHT}
+    for i, r in zip(idx, rid):
+        window = man[r][i : min(i + backoff + 1, length[r])]
+        assert any(int(m) in junction for m in window), (i, r)
+    # The bias actually moved spawns (not all routes start at a junction).
+    assert (idx > 0).any()
+    # start_waypoint_idx follows the spawn (lap fraction counts from here).
+    np.testing.assert_array_equal(np.asarray(states.start_waypoint_idx), idx)
+
+    # Eval resets: route start, regardless of the probability.
+    ev = jax.vmap(lambda k: route_env.reset(p, k, is_training=False))(keys)
+    assert (np.asarray(ev.waypoint_idx) == 0).all()
+
+    # prob=0 (default): training resets also stay at the route start.
+    off = jax.vmap(lambda k: route_env.reset(rparams, k, is_training=True))(keys)
+    assert (np.asarray(off.waypoint_idx) == 0).all()

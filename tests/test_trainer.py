@@ -299,3 +299,118 @@ def test_best_score_persists_across_resume(tmp_path, monkeypatch):
     t2.train(num_iterations=2)
     assert t2.checkpointer.latest_step() == best_step
     t2.close()
+
+
+def test_best_key_finished_first(tmp_path, monkeypatch):
+    """finished_first ranks concluded-episode evals above budget-survivors:
+    a 13.8 km/h crawler farming the eval budget must not outrank a faster
+    agent whose episodes actually end (RESULTS_round3.md traffic artifact)."""
+    settings = TrainerSettings(
+        model_name="bk",
+        models_root=str(tmp_path),
+        num_iterations=2,
+        eval_interval=1,
+        eval_envs=2,
+        checkpoint_interval=100,
+        best_key="finished_first",
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+
+    evals = [
+        # it=0: crawler - high laps, survived the budget (finished 0).
+        {"eval/finished": 0.0, "eval/laps_completed": 2.86, "eval/reward": 900.0},
+        # it=1: honest driver - fewer laps but episodes concluded.
+        {"eval/finished": 1.0, "eval/laps_completed": 1.5, "eval/reward": 50.0},
+    ]
+    real_eval = Trainer.evaluate
+
+    def fake_evaluate(self):
+        m = real_eval(self)
+        m.update(evals.pop(0))
+        return m
+
+    monkeypatch.setattr(Trainer, "evaluate", fake_evaluate)
+    t = Trainer(settings, config)
+    t.train()
+    # The finisher (it=1) must hold the best slot despite fewer laps.
+    assert t.best_eval_score == (1.0, 1.5, 50.0)
+    assert t.checkpointer.latest_step() == 1
+    t.close()
+
+
+def test_best_key_length_mismatch_resets_bar(tmp_path, monkeypatch):
+    """Switching best_key against an existing best_score.json starts the bar
+    fresh instead of comparing tuples with different semantics."""
+    import json
+
+    settings = TrainerSettings(
+        model_name="bk2",
+        models_root=str(tmp_path),
+        num_iterations=0,
+        best_key="finished_first",
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+    model_dir = os.path.join(str(tmp_path), "bk2")
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "best_score.json"), "w") as f:
+        json.dump([3.0, 100.0], f)  # old 2-component (laps, reward) score
+    t = Trainer(settings, config)
+    assert t.best_eval_score == (-float("inf"),) * 3
+    t.close()
+
+
+def test_solve_metric_distance(tmp_path, monkeypatch):
+    """freeze_on_solve keyed on eval distance (the route config's 3000 m
+    budget) instead of laps."""
+    settings = TrainerSettings(
+        model_name="sd",
+        models_root=str(tmp_path),
+        num_iterations=2,
+        eval_interval=1,
+        eval_envs=2,
+        checkpoint_interval=100,
+        freeze_on_solve=1,
+        solve_metric="distance",
+        solve_distance=2995.0,
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+
+    dist = {"v": 3000.0}
+    real_eval = Trainer.evaluate
+
+    def fake_evaluate(self):
+        m = real_eval(self)
+        m["eval/distance_traveled"] = dist["v"]
+        m["eval/laps_completed"] = 0.1  # laps bar NOT met - must not matter
+        return m
+
+    monkeypatch.setattr(Trainer, "evaluate", fake_evaluate)
+    t = Trainer(settings, config)
+    t.train(num_iterations=1)
+    assert t._frozen  # distance bar met despite 0.1 laps
+    dist["v"] = 100.0
+    t.train(num_iterations=2)
+    assert not t._frozen
+    t.close()
+
+
+def test_stall_watchdog():
+    """Heartbeats keep the watchdog quiet; silence fires the injected exit
+    exactly with STALL_EXIT_CODE; stop() disarms."""
+    import time
+
+    from carla_ppo_tpu.utils import watchdog as wd
+
+    calls = []
+    w = wd.StallWatchdog(
+        timeout_s=0.4, check_interval_s=0.05, _exit_fn=calls.append
+    )
+    for _ in range(12):
+        w.beat()
+        time.sleep(0.05)
+    assert not calls  # beaten faster than the timeout: never fires
+    time.sleep(1.0)  # go quiet past the timeout
+    assert calls and calls[0] == wd.STALL_EXIT_CODE
+    w.stop()
+    w._thread.join(timeout=2.0)
+    assert not w._thread.is_alive()
