@@ -172,6 +172,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--warm_start_vae", type=str, default=None,
                         help="pixels: VAE model dir to initialize the "
                              "encoder/z-heads/decoder from (fresh runs only)")
+    parser.add_argument("--deprop_aux", type=bool_flag, default=False,
+                        help="pixels: the VAE auxiliary loss reconstructs "
+                             "the plain ground-only scene (props/NPCs "
+                             "removed) instead of the rich input frame - "
+                             "the joint-training analog of the de-prop VAE "
+                             "(free: the target is an intermediate of the "
+                             "same render)")
 
     # VAE parameters (reference: train.py:238-242).
     parser.add_argument("--vae_model", type=str, default=None,
@@ -301,6 +308,7 @@ def main(argv=None) -> None:
         vae_z_dim=params["vae_z_dim"],
         vae_source=params["vae_source"],
         vae_scale=params["vae_scale"],
+        deprop_aux=params["deprop_aux"],
         warm_start_vae=params["warm_start_vae"],
         policy_dtype=params["policy_dtype"],
     )

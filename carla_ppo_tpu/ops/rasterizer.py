@@ -581,6 +581,27 @@ def render_semantic(
     return cls
 
 
+def render_semantic_with_ground(
+    state: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+) -> Tuple[Array, Array]:
+    """One env's (rich, ground-only) seg frames, each [H, W] int32.
+
+    The ground-only frame is the DE-PROP target: props and NPC vehicles are
+    billboards composited OVER the ground pass, so the plain-scene frame is
+    an intermediate of the same render - a second scene render would cost
+    the full ground pass again for pixels this already produced
+    (benchmarks/train_deprop_vae.py renders its plain targets that way,
+    offline; this is the free in-training equivalent)."""
+    ground, depth, sky = _ground_pass(state, params, cam, style)
+    cls = ground
+    if cam.render_props:
+        cls, _, _ = billboard_pass(ground, depth, sky, state, params, cam)
+    return cls, ground
+
+
 def seg_to_obs(cls: Array) -> Array:
     """Class-id image -> float [H, W, 1] in [0,1], the exact preprocessing the
     reference applies to CARLA seg frames (train_vae.py:26-29: red/12)."""
@@ -722,6 +743,34 @@ def render_batch(
     if _pallas_ground_eligible(states, params):
         return _render_batch_pallas_composed(states, params, cam, style)
     return jax.vmap(lambda s: render_semantic(s, params, cam, style))(states)
+
+
+@partial(jax.jit, static_argnames=("cam", "style"))
+def render_batch_with_ground(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+) -> Tuple[Array, Array]:
+    """[B, H, W] (rich, ground-only) frames for a shared-track batch.
+
+    Same dispatch as render_batch; the Pallas path's ground output IS the
+    de-prop target, so the extra return costs only the billboard composite
+    it already pays (see render_semantic_with_ground)."""
+    if _pallas_ground_eligible(states, params):
+        from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v3d
+
+        ground = render_batch_pallas_v3d(states, params, cam, style)
+        cls = ground
+        if cam.render_props:
+            depth, sky = _static_depth_sky(cam)
+            cls = jax.vmap(
+                lambda c, s: billboard_pass(c, depth, sky, s, params, cam)[0]
+            )(ground, states)
+        return cls, ground
+    return jax.vmap(
+        lambda s: render_semantic_with_ground(s, params, cam, style)
+    )(states)
 
 
 @partial(jax.jit, static_argnames=("cam", "style"))

@@ -75,6 +75,9 @@ class TrainerSettings:
     vae_source: str = "seg"
     # Pixel pipeline (config 4) knobs.
     vae_scale: float = 1e-4  # joint-VAE auxiliary loss weight
+    # De-prop auxiliary target (pixels): reconstruct the plain ground-only
+    # scene instead of the rich input (training/pixels.PixelConfig).
+    deprop_aux: bool = False
     # Trained VAE model dir to initialize the pixel agent's encoder/z-heads/
     # decoder from (fresh runs only; resumes keep their checkpoint).
     warm_start_vae: Optional[str] = None
@@ -203,7 +206,9 @@ class Trainer:
             from carla_ppo_tpu.training import pixels as pixels_mod
 
             self._pixels = pixels_mod
-            self.pix = pixels_mod.PixelConfig(vae_scale=settings.vae_scale)
+            self.pix = pixels_mod.PixelConfig(
+                vae_scale=settings.vae_scale, deprop_aux=settings.deprop_aux
+            )
             self.model = PixelActorCritic(initial_std=config.initial_std)
             rng = jax.random.PRNGKey(settings.seed)
             self.train_state = pixels_mod.create_pixel_train_state(

@@ -55,6 +55,15 @@ class PixelConfig:
     # keeps both learning. <= 0 disables a group's clip.
     policy_grad_norm: float = 0.5
     encoder_grad_norm: float = 5.0
+    # De-prop auxiliary target: the VAE aux loss reconstructs the PLAIN
+    # scene (the ground pass - props/NPCs removed) from the rich input
+    # frame, instead of reconstructing the input. The frozen-latent pipeline
+    # measured this representation markedly easier to drive from (the
+    # de-prop VAE, RESULTS_round2.md); here the target frame is free - it
+    # is an intermediate of the same render (rasterizer
+    # render_semantic_with_ground). Costs one extra [T, B, H, W] uint8
+    # rollout buffer.
+    deprop_aux: bool = False
 
 
 _POLICY_TOPLEVEL = ("pi", "action_mean", "vf", "value", "action_logstd")
@@ -104,18 +113,35 @@ class PixelTrajectory:
     values: Array
     rewards: Array
     dones: Array
+    # De-prop targets (PixelConfig.deprop_aux): [T, B, H, W] uint8 plain
+    # (ground-only) frames, or None when reconstructing the input.
+    target_frames: Any = None
 
 
 def _render_and_measure(
-    states: EnvState, env_params: EnvParams, cam, env_kind: str
-) -> Tuple[Array, Array]:
+    states: EnvState,
+    env_params: EnvParams,
+    cam,
+    env_kind: str,
+    with_ground: bool = False,
+) -> Tuple[Array, Any, Array]:
+    """(frames u8, deprop-target u8 | None, measurements) for an env batch."""
     from carla_ppo_tpu.envs.observations import measurements as measure_fn
 
     if env_kind == "lap":
         # Batch-level render: on TPU this takes the fused Pallas ground
         # kernel (rasterizer.render_batch docstring).
+        if with_ground:
+            cls, ground = rasterizer.render_batch_with_ground(
+                states, env_params, cam
+            )
+            return (
+                cls.astype(jnp.uint8),
+                ground.astype(jnp.uint8),
+                jax.vmap(measure_fn)(states),
+            )
         cls = rasterizer.render_batch(states, env_params, cam)
-        return cls.astype(jnp.uint8), jax.vmap(measure_fn)(states)
+        return cls.astype(jnp.uint8), None, jax.vmap(measure_fn)(states)
 
     def per_env(s):
         # Banked tracks: slice this env's track before rendering
@@ -123,10 +149,16 @@ def _render_and_measure(
         p = env_params.replace(
             track=jax.tree.map(lambda x: x[s.route_id], env_params.track)
         )
+        if with_ground:
+            cls, ground = rasterizer.render_semantic_with_ground(s, p, cam)
+            return cls.astype(jnp.uint8), ground.astype(jnp.uint8), measure_fn(s)
         cls = rasterizer.render_semantic(s, p, cam)
         return cls.astype(jnp.uint8), measure_fn(s)
 
-    return jax.vmap(per_env)(states)
+    if with_ground:
+        return jax.vmap(per_env)(states)
+    cls, meas = jax.vmap(per_env)(states)
+    return cls, None, meas
 
 
 def pixel_rollout(
@@ -140,19 +172,21 @@ def pixel_rollout(
 ):
     env = _ENVS[config.env_kind]
 
-    frames0, meas0 = _render_and_measure(
-        env_states, env_params, pix.cam, config.env_kind
+    frames0, targets0, meas0 = _render_and_measure(
+        env_states, env_params, pix.cam, config.env_kind,
+        with_ground=pix.deprop_aux,
     )
 
     def step_fn(carry, key):
-        env_states, frames, meas = carry
+        env_states, frames, targets, meas = carry
         f = frames.astype(jnp.float32)[..., None] / 12.0
         action, logp, value = model.act(params, f, meas, key)
         env_states, out = jax.vmap(
             lambda s, a: env.autoreset_step(s, a, env_params, "vector")
         )(env_states, action)
-        next_frames, next_meas = _render_and_measure(
-            env_states, env_params, pix.cam, config.env_kind
+        next_frames, next_targets, next_meas = _render_and_measure(
+            env_states, env_params, pix.cam, config.env_kind,
+            with_ground=pix.deprop_aux,
         )
         traj = PixelTrajectory(
             frames=frames,
@@ -162,14 +196,15 @@ def pixel_rollout(
             values=value,
             rewards=out.reward,
             dones=out.done.astype(jnp.float32),
+            target_frames=targets,
         )
         ep = (out.done.astype(jnp.float32), out.total_reward,
               out.distance_traveled, out.laps_completed)
-        return (env_states, next_frames, next_meas), (traj, ep)
+        return (env_states, next_frames, next_targets, next_meas), (traj, ep)
 
     keys = jax.random.split(rng, config.horizon)
-    (env_states, last_frames, last_meas), (traj, ep) = jax.lax.scan(
-        step_fn, (env_states, frames0, meas0), keys
+    (env_states, last_frames, _, last_meas), (traj, ep) = jax.lax.scan(
+        step_fn, (env_states, frames0, targets0, meas0), keys
     )
 
     f = last_frames.astype(jnp.float32)[..., None] / 12.0
@@ -231,8 +266,13 @@ def pixel_loss(
 
     total = ppo_total
     if model.with_decoder:
+        # De-prop aux (PixelConfig.deprop_aux): reconstruct the plain-scene
+        # target instead of the rich input.
+        target = frames
+        if batch.get("target_frames") is not None:
+            target = batch["target_frames"].astype(jnp.float32)[..., None] / 12.0
         v_loss, v_metrics = vae_loss(
-            aux["recon_logits"], frames, aux["z_mean"], aux["z_logstd_sq"],
+            aux["recon_logits"], target, aux["z_mean"], aux["z_logstd_sq"],
             pix.beta, pix.kl_tolerance, model.z_dim, "bce",
         )
         total = ppo_total + pix.vae_scale * v_loss
@@ -301,6 +341,8 @@ def pixel_train_iteration_core(
             "returns": returns.swapaxes(0, 1),
             "advantages": advantages.swapaxes(0, 1),
         }
+        if traj.target_frames is not None:
+            data["target_frames"] = traj.target_frames.swapaxes(0, 1)
         perm_size = B
     else:
         data = {
@@ -311,6 +353,8 @@ def pixel_train_iteration_core(
             "returns": returns.reshape(n),
             "advantages": advantages.reshape(n),
         }
+        if traj.target_frames is not None:
+            data["target_frames"] = traj.target_frames.reshape(n, H, W)
         perm_size = n
 
     tx = make_pixel_optimizer(config, pix)
@@ -548,7 +592,7 @@ def evaluate(
         states = jax.vmap(
             lambda k: env.reset(env_params, k, is_training=False)
         )(keys)
-    frames0, meas0 = _render_and_measure(
+    frames0, _, meas0 = _render_and_measure(
         states, env_params, pix.cam, config.env_kind
     )
     max_steps = jnp.asarray(max_steps, jnp.int32)
@@ -588,7 +632,7 @@ def evaluate(
             states,
             next_states,
         )
-        next_frames, next_meas = _render_and_measure(
+        next_frames, _, next_meas = _render_and_measure(
             states, env_params, pix.cam, config.env_kind
         )
         return (states, next_frames, next_meas, done, snap, t + 1), None

@@ -176,3 +176,36 @@ def test_pixel_kl_guard(model, setup, lap_params):
         ),
         ts_g.params, ts_g2.params,
     )
+
+
+def test_pixel_deprop_aux(model):
+    """deprop_aux: the iteration runs, stores plain targets, and the VAE
+    recon loss measures against the de-prop scene (differs from the
+    input-reconstruction loss on a propped track)."""
+    from carla_ppo_tpu.envs import track as track_mod
+    from carla_ppo_tpu.envs.types import EnvParams
+
+    params = EnvParams(track=track_mod.make_lap_track(seed=0, props=True))
+    config = ppo.PPOConfig(horizon=4, num_envs=4, num_minibatches=2)
+    rng = jax.random.PRNGKey(0)
+    envs = ppo.init_env_batch(params, 4, rng)
+
+    def run(deprop):
+        pix = pixels.PixelConfig(deprop_aux=deprop)
+        ts = pixels.create_pixel_train_state(model, config, rng, pix)
+        _, _, m = pixels.pixel_train_iteration(
+            ts, envs, params, model, config, pix
+        )
+        return {k: float(v) for k, v in m.items()}
+
+    m_plain = run(False)
+    m_deprop = run(True)
+    assert np.isfinite(m_deprop["train_loss/loss"])
+    # Same policy trajectory (the rollout ignores the target stream)...
+    assert m_deprop["train/prob_ratio"] == pytest.approx(
+        m_plain["train/prob_ratio"], rel=1e-4
+    )
+    # ...but a different reconstruction target.
+    assert m_deprop["train_loss/vae_recon"] != pytest.approx(
+        m_plain["train_loss/vae_recon"], rel=1e-6
+    )

@@ -142,3 +142,30 @@ def test_render_batch(lap_params):
     frames = np.asarray(frames)
     # Every frame sees road somewhere below the horizon.
     assert all((f == int(SegClass.ROADS)).sum() > 100 for f in frames)
+
+
+def test_render_with_ground_parity():
+    """(rich, ground) from the shared render: rich == render_semantic on the
+    same camera; ground == render_semantic with billboards disabled (the
+    de-prop target is a true plain-scene frame)."""
+    import dataclasses
+
+    import jax
+
+    from carla_ppo_tpu.envs import lap_env, track as track_mod
+    from carla_ppo_tpu.envs.types import EnvParams
+    from carla_ppo_tpu.ops import rasterizer
+
+    params = EnvParams(track=track_mod.make_lap_track(seed=0, props=True))
+    cam = rasterizer.CameraConfig()
+    cam_plain = dataclasses.replace(cam, render_props=False)
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    states = jax.vmap(lambda k: lap_env.reset(params, k))(keys)
+
+    rich, ground = rasterizer.render_batch_with_ground(states, params, cam)
+    want_rich = rasterizer.render_batch(states, params, cam)
+    want_plain = rasterizer.render_batch(states, params, cam_plain)
+    np.testing.assert_array_equal(np.asarray(rich), np.asarray(want_rich))
+    np.testing.assert_array_equal(np.asarray(ground), np.asarray(want_plain))
+    # Props are actually on screen: the rich frame differs from the target.
+    assert (np.asarray(rich) != np.asarray(ground)).any()
