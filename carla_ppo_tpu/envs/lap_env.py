@@ -61,6 +61,7 @@ class StepOutput:
     laps_completed: Array
     step_count: Array
     termination_reason: Array
+    npc_overtakes: Array  # cumulative completed overtakes this episode
 
 
 def reset(
@@ -269,18 +270,30 @@ def step(
     active_npc = jnp.arange(npc_s.shape[0]) < params.num_npcs
     length_f = track.length.astype(jnp.float32)
     ego_s = waypoint_idx.astype(jnp.float32)
-    ds = npc_s - ego_s
-    ds = jnp.where(
-        track.is_loop,
-        jnp.mod(ds + length_f / 2.0, length_f) - length_f / 2.0,
-        ds,
-    )
+
+    def wrap_gap(gap):
+        return jnp.where(
+            track.is_loop,
+            jnp.mod(gap + length_f / 2.0, length_f) - length_f / 2.0,
+            gap,
+        )
+
+    ds = wrap_gap(npc_s - ego_s)
     npc_hit = jnp.any(
         active_npc
         & (jnp.abs(ds) < params.npc_collision_s)
         & (jnp.abs(state.npc_lateral - ego_lat) < params.npc_collision_lat)
     )
     collision = collision | npc_hit
+
+    # Overtake events: an NPC's gap sign-flips ahead -> behind this step
+    # (never across the loop's far boundary, where the wrap jumps -L/2 ->
+    # +L/2 with ds_old < 0). NPCs passing a slower EGO flip behind -> ahead
+    # and do not count.
+    ds_old = wrap_gap(state.npc_s - state.waypoint_idx.astype(jnp.float32))
+    npc_just_passed = jnp.sum(
+        (active_npc & (ds_old > 0.0) & (ds <= 0.0)).astype(jnp.float32)
+    )
 
     step_count = state.step_count + 1
     over_distance = distance_traveled >= params.max_distance_traveled
@@ -309,14 +322,17 @@ def step(
         ),
     )
 
-    # npc_s rides along so reward shaping (rewards.reward_traffic_add) sees
-    # the same post-tick NPC positions the collision test above used.
+    # npc_s/npc_just_passed ride along so reward shaping
+    # (rewards.reward_traffic_add) sees the same post-tick NPC geometry and
+    # overtake events the collision test above used.
     mid = mid.replace(
         distance_from_center=distance_from_center,
         angle_to_road=angle,
         collision=collision,
         lane_invasion=lane_invasion,
         npc_s=npc_s,
+        npc_just_passed=npc_just_passed,
+        npc_overtakes=state.npc_overtakes + npc_just_passed,
     )
 
     reward, terminal, reason, low_speed_timer = rewards.step_reward(
@@ -354,6 +370,7 @@ def step(
         laps_completed=laps_completed,
         step_count=step_count,
         termination_reason=reason,
+        npc_overtakes=next_state.npc_overtakes,
     )
     return next_state, out
 

@@ -98,12 +98,17 @@ def reward_speed_centering_angle_multiply(
     )
 
 
-# Along-track window (m) around an NPC inside which the centering term is
-# waived: an overtake NEEDS lateral offset, and punishing it teaches
+# Along-track window (m) around an NPC inside which an offset ego counts as
+# mid-overtake: an overtake NEEDS lateral offset, and punishing it teaches
 # tailgating instead of passing (measured round 3: the multiplicative reward
-# capped the traffic agent at NPC-following pace, the plain additive one
-# produced overtakes that ended in collisions - RESULTS_round3.md).
+# capped the traffic agent at NPC-following pace - RESULTS_round3.md).
 OVERTAKE_WINDOW = 15.0
+# Minimum lateral offset FROM THE NPC for the centering waiver: an ego
+# directly behind (|dlat| below this) is following, not passing, and earns
+# centering normally. (An unconditional near-NPC waiver was tried first and
+# reward-farmed: agents tailgated at NPC pace collecting the free centering
+# term for ~4000-step episodes - traffic_npc_r4, round 4.)
+PASS_LATERAL_MIN = 1.2
 # Proximity shaping: penalty ramps from 0 at PROXIMITY_RANGE meters of
 # box-clearance to PROXIMITY_SCALE at contact with the collision box.
 PROXIMITY_RANGE = 6.0
@@ -116,25 +121,33 @@ def reward_traffic_add(state: EnvState, params: EnvParams) -> Array:
     reference never trains against traffic; its collision sensor is
     HUD-only, reference: carla_lap_env.py:453-459).
 
-    speed + centering' + angle - proximity, where
+    speed + centering' + angle - proximity + pass_bonus * overtakes, where
 
-    - centering' waives the centering term while any live NPC is within
-      OVERTAKE_WINDOW along-track: lateral offset during a pass is free
-      (road-edge termination still bounds it);
+    - centering' waives the centering term only while actually PASSING: some
+      live NPC within OVERTAKE_WINDOW along-track AND the ego laterally
+      offset from it by > PASS_LATERAL_MIN. Following in-lane earns
+      centering normally (see PASS_LATERAL_MIN for why);
     - proximity penalizes closing on an NPC's collision box: with d the
       Euclidean clearance OUTSIDE the box (axis-wise slack in the same
       Frenet frame as the collision test, lap_env.step),
       penalty = PROXIMITY_SCALE * max(0, 1 - d / PROXIMITY_RANGE).
       At box contact (d=0, one step from termination) the penalty equals
-      -1.5: a smooth approach gradient toward keeping a passing margin.
+      -1.5: a smooth approach gradient toward keeping a passing margin;
+    - each COMPLETED overtake (an NPC's gap sign-flips ahead -> behind,
+      detected in lap_env.step) pays RewardParams.pass_bonus once - sized
+      to decisively outearn staying parked behind an NPC at its pace.
     """
     from carla_ppo_tpu.envs.observations import npc_gaps
 
     rp = params.reward
     ds, dlat, active = npc_gaps(state, params)
 
-    near = jnp.any(active & (jnp.abs(ds) < OVERTAKE_WINDOW))
-    centering = jnp.where(near, 1.0, _centering_factor(state, rp))
+    passing = jnp.any(
+        active
+        & (jnp.abs(ds) < OVERTAKE_WINDOW)
+        & (jnp.abs(dlat) > PASS_LATERAL_MIN)
+    )
+    centering = jnp.where(passing, 1.0, _centering_factor(state, rp))
 
     slack_s = jnp.maximum(jnp.abs(ds) - params.npc_collision_s, 0.0)
     slack_l = jnp.maximum(jnp.abs(dlat) - params.npc_collision_lat, 0.0)
@@ -150,6 +163,7 @@ def reward_traffic_add(state: EnvState, params: EnvParams) -> Array:
         + centering
         + _angle_factor(state, rp)
         - PROXIMITY_SCALE * danger
+        + rp.pass_bonus * state.npc_just_passed
     )
 
 

@@ -257,6 +257,16 @@ class EnvState:
     npc_lateral: jax.Array = struct.field(
         default_factory=lambda: jnp.zeros((NUM_NPC_SLOTS,), jnp.float32)
     )
+    # Overtake bookkeeping (traffic configs): NPCs whose along-track gap
+    # sign-flipped ahead->behind THIS step, and the episode's cumulative
+    # count (an episodic metric; reward_traffic_add pays
+    # RewardParams.pass_bonus per event).
+    npc_just_passed: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
+    npc_overtakes: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
 
 
 class TerminationReason(enum.IntEnum):
@@ -301,6 +311,13 @@ class RewardParams:
     )
     angle_factor_max: jax.Array = struct.field(
         default_factory=lambda: jnp.float32(jnp.deg2rad(20.0))
+    )
+    # One-time bonus per completed overtake (reward_traffic_add; an NPC's
+    # along-track gap sign-flips ahead -> behind). Sized to beat the
+    # proximity penalties an overtake accrues (~30 reward over a 2 s pass)
+    # so passing decisively outearns tailgating at NPC pace.
+    pass_bonus: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(20.0)
     )
 
 

@@ -326,6 +326,7 @@ def rollout(
             out.center_lane_deviation,
             out.laps_completed,
             out.step_count.astype(jnp.float32),
+            out.npc_overtakes,
         )
         return (env_states, out.obs), (traj, ep)
 
@@ -336,7 +337,7 @@ def rollout(
 
     _, _, bootstrap_value = model.apply(params, last_obs)
 
-    done_w, ep_rew, ep_dist, ep_speed, ep_dev, ep_laps, ep_len = ep
+    done_w, ep_rew, ep_dist, ep_speed, ep_dev, ep_laps, ep_len, ep_ot = ep
     n_done = jnp.maximum(done_w.sum(), 1.0)
 
     def ep_mean(x):
@@ -354,6 +355,7 @@ def rollout(
         "train/laps_completed": ep_mean(ep_laps),
         "train/episode_length": ep_mean(ep_len),
         "train/episodes_finished": done_w.sum(),
+        "train/overtakes": ep_mean(ep_ot),
     }
     return env_states, traj, bootstrap_value, episodic
 
@@ -744,6 +746,7 @@ def evaluate(
                 "speed_accum": out.speed_accum,
                 "laps": out.laps_completed,
                 "steps": out.step_count.astype(jnp.float32),
+                "overtakes": out.npc_overtakes,
             },
         )
         done = jnp.logical_or(done, newly)
@@ -768,6 +771,7 @@ def evaluate(
         "speed_accum": jnp.zeros(num_envs),
         "laps": jnp.zeros(num_envs),
         "steps": jnp.zeros(num_envs),
+        "overtakes": jnp.zeros(num_envs),
     }
 
     def chunk_cond(carry):
@@ -794,6 +798,7 @@ def evaluate(
             "speed_accum": states.speed_accum,
             "laps": states.laps_completed,
             "steps": states.step_count.astype(jnp.float32),
+            "overtakes": states.npc_overtakes,
         },
     )
     steps = jnp.maximum(snap["steps"], 1.0)
@@ -808,6 +813,7 @@ def evaluate(
         "eval/laps_completed": snap["laps"].mean(),
         "eval/episode_steps": snap["steps"].mean(),
         "eval/finished": done.astype(jnp.float32).mean(),
+        "eval/overtakes": snap["overtakes"].mean(),
     }
     if n_tracks:
         # Per-track mean laps (round-robin assignment above covers the bank).

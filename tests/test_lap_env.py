@@ -164,3 +164,31 @@ def test_obs_finite_and_scaled(lap_params):
         s, out = lap_env.step(s, jnp.array([0.3, 1.0]), lap_params)
         assert bool(jnp.all(jnp.isfinite(out.obs)))
     assert float(jnp.abs(out.obs).max()) < 20.0
+
+
+def test_npc_overtake_event_detection(lap_params):
+    """An NPC whose along-track gap sign-flips ahead -> behind counts as ONE
+    overtake: npc_just_passed fires on exactly that step, npc_overtakes
+    accumulates, and StepOutput carries the running count."""
+    import jax
+
+    p = lap_params.replace(num_npcs=jnp.int32(1))
+    s = lap_env.reset(p, jax.random.PRNGKey(0))
+    s = s.replace(
+        vehicle=s.vehicle.replace(vx=jnp.float32(9.0)),
+        npc_s=s.npc_s.at[0].set(s.waypoint_idx.astype(jnp.float32) + 0.5),
+        npc_speed=s.npc_speed.at[0].set(jnp.float32(0.0)),
+        npc_lateral=s.npc_lateral.at[0].set(jnp.float32(2.5)),  # clear lane
+    )
+    action = jnp.asarray([0.0, 1.0], jnp.float32)
+    events = []
+    for _ in range(10):
+        s, out = lap_env.step(s, action, p)
+        events.append(float(s.npc_just_passed))
+        assert float(out.npc_overtakes) == float(s.npc_overtakes)
+    # The stationary NPC 0.5 wp ahead is passed exactly once in ~3 m.
+    assert sum(events) == 1.0
+    assert float(s.npc_overtakes) == 1.0
+    # A fresh reset zeroes the episode counter.
+    s2 = lap_env.reset(p, jax.random.PRNGKey(1))
+    assert float(s2.npc_overtakes) == 0.0

@@ -203,3 +203,25 @@ def test_traffic_reward_inactive_slots_ignored(lap_params):
         )
     )
     assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_traffic_reward_no_waiver_when_following(lap_params):
+    """Directly behind an NPC (|dlat| < PASS_LATERAL_MIN): centering is
+    earned normally - tailgating must not collect a free centering term
+    (the round-4 reward-farming regression this guards against)."""
+    p = traffic_params(lap_params)
+    s = npc_state(p, ds=8.0, dlat=0.0, dist_center=2.0)
+    got = float(rewards.reward_functions["reward_traffic_add"](s, p))
+    # speed 1 + centering (1 - 2/3) + angle 1 - proximity (clearance 4 ->
+    # danger 1/3 -> 0.5).
+    assert got == pytest.approx(1.0 + 1.0 / 3.0 + 1.0 - 0.5, abs=1e-4)
+
+
+def test_traffic_reward_pass_bonus(lap_params):
+    """A completed overtake this step pays RewardParams.pass_bonus once."""
+    p = traffic_params(lap_params)
+    s = npc_state(p, ds=-5.0, dlat=2.0)
+    fn = rewards.reward_functions["reward_traffic_add"]
+    base = float(fn(s, p))
+    bumped = float(fn(s.replace(npc_just_passed=jnp.float32(1.0)), p))
+    assert bumped - base == pytest.approx(float(p.reward.pass_bonus), abs=1e-4)
