@@ -33,6 +33,18 @@ Optimization ladder (1024 rich-scene ground passes, v5e):
   XLA reference (row stripes)        7.3  ms   (the fallback path)
   v3c (static rays, fused classify)  8.2  ms   (retained: any B)
   v3d (+ GROUP batching, 1 dispatch) 4.85 ms   (production)
+  v3e (MXU score matmul)             tied/slower (deleted; note below)
+
+Negative result, for the record (round 4): reformulating the [K, P]
+distance block as an affine score |w|^2 - 2wx*a - 2wy*b - a [K, 8] x
+[8, P] MXU matmul replacing the 5 VPU passes, with d2 recovered from a
+static a^2+b^2 slab row - was bit-identical in interpret mode but did NOT
+pay on hardware: measured (same-chip contention, ratios stable) v3e tied
+v3d at bf16 matmul precision and ran ~10% SLOWER at the HIGHEST precision
+the nearest-pick selection actually needs (3-pass f32 emulation on an
+8-deep contraction leaves the MXU ~6% utilized). The VPU distance block is
+not the kernel's bottleneck; v3d stays production. See git history for the
+v3e code.
 
 Mosaic constraints that shaped the code (see pallas_guide): no argmin -
 nearest index via min + equality mask + iota-min (first-match tie-break =
