@@ -619,6 +619,7 @@ def evaluate(
                 "speed_accum": out.speed_accum,
                 "laps": out.laps_completed,
                 "steps": out.step_count.astype(jnp.float32),
+                "overtakes": out.npc_overtakes,
             },
         )
         done = jnp.logical_or(done, newly)
@@ -644,6 +645,7 @@ def evaluate(
         "speed_accum": jnp.zeros(num_envs),
         "laps": jnp.zeros(num_envs),
         "steps": jnp.zeros(num_envs),
+        "overtakes": jnp.zeros(num_envs),
     }
 
     def chunk_cond(carry):
@@ -670,6 +672,7 @@ def evaluate(
             "speed_accum": states.speed_accum,
             "laps": states.laps_completed,
             "steps": states.step_count.astype(jnp.float32),
+            "overtakes": states.npc_overtakes,
         },
     )
     steps = jnp.maximum(snap["steps"], 1.0)
@@ -684,4 +687,5 @@ def evaluate(
         "eval/laps_completed": snap["laps"].mean(),
         "eval/episode_steps": snap["steps"].mean(),
         "eval/finished": done.astype(jnp.float32).mean(),
+        "eval/overtakes": snap["overtakes"].mean(),
     }
