@@ -25,7 +25,7 @@ import gymnasium
 import jax
 import jax.numpy as jnp
 
-from carla_ppo_tpu.envs import lap_env, track as track_mod
+from carla_ppo_tpu.envs import lap_env, route_env, track as track_mod
 from carla_ppo_tpu.envs.observations import obs_dim_for
 from carla_ppo_tpu.envs.types import EnvParams
 
@@ -39,6 +39,8 @@ class LapVectorEnv(gymnasium.vector.VectorEnv):
         "autoreset_mode": gymnasium.vector.AutoresetMode.SAME_STEP,
     }
 
+    _env_mod = lap_env
+
     def __init__(
         self,
         num_envs: int = 64,
@@ -49,13 +51,19 @@ class LapVectorEnv(gymnasium.vector.VectorEnv):
         is_training: bool = True,
         num_npcs: int = 0,
     ):
-        self.num_envs = int(num_envs)
         self.params = EnvParams(
             track=track_mod.make_lap_track(seed=track_seed),
             action_smoothing=jnp.float32(action_smoothing),
             reward_fn=reward_fn,
             num_npcs=num_npcs,
         )
+        self._build(num_envs, obs_fn, is_training)
+
+    def _build(self, num_envs: int, obs_fn: str, is_training: bool) -> None:
+        """Spaces + jitted reset/step closures over self.params (shared by
+        the lap and route adapters; only the functional env module and its
+        reset signature differ)."""
+        self.num_envs = int(num_envs)
         self._obs_fn = obs_fn
         self.is_training = is_training
         obs_dim = obs_dim_for(obs_fn)
@@ -76,24 +84,32 @@ class LapVectorEnv(gymnasium.vector.VectorEnv):
         )
 
         params = self.params
+        env = self._env_mod
+        is_lap = env is lap_env
+
+        def _fresh(state, reset_rng):
+            if is_lap:
+                # Lap re-spawns keep the persistent respawn checkpoint.
+                return env.reset(
+                    params,
+                    reset_rng,
+                    is_training=state.is_training,
+                    checkpoint_idx=state.checkpoint_idx,
+                )
+            return env.reset(params, reset_rng, is_training=state.is_training)
 
         def _reset_one(key, training):
-            state = lap_env.reset(params, key, is_training=training)
-            return state, lap_env.observe(state, params, obs_fn)
+            state = env.reset(params, key, is_training=training)
+            return state, env.observe(state, params, obs_fn)
 
         def _step_one(state, action):
             # step (not autoreset_step) so the terminal observation is still
             # computable for infos["final_obs"]; the re-spawn mirrors
-            # lap_env.autoreset_step exactly.
-            next_state, out = lap_env.step(state, action, params, obs_fn)
+            # autoreset_step exactly.
+            next_state, out = env.step(state, action, params, obs_fn)
             final_obs = out.obs
             rng, reset_rng = jax.random.split(next_state.rng)
-            fresh = lap_env.reset(
-                params,
-                reset_rng,
-                is_training=state.is_training,
-                checkpoint_idx=next_state.checkpoint_idx,
-            )
+            fresh = _fresh(next_state, reset_rng)
             truncated = next_state.truncated
             next_state = jax.tree.map(
                 lambda f, n: jnp.where(out.done, f, n),
@@ -101,7 +117,7 @@ class LapVectorEnv(gymnasium.vector.VectorEnv):
                 next_state.replace(rng=rng),
             )
             obs = jnp.where(
-                out.done, lap_env.observe(fresh, params, obs_fn), out.obs
+                out.done, env.observe(fresh, params, obs_fn), out.obs
             )
             return next_state, (
                 obs,
@@ -153,6 +169,52 @@ class LapVectorEnv(gymnasium.vector.VectorEnv):
         from carla_ppo_tpu.ops import rasterizer as raster
 
         cls = raster.render_semantic(
-            jax.tree.map(lambda x: x[0], self._states), self.params
+            jax.tree.map(lambda x: x[0], self._states), self._render_params()
         )
         return np.asarray(raster.seg_to_rgb(cls) * 255).astype(np.uint8)
+
+    def _render_params(self) -> EnvParams:
+        return self.params
+
+
+class RouteVectorEnv(LapVectorEnv):
+    """N route envs as one jitted XLA program.
+
+    Same VectorEnv surface as LapVectorEnv over the route family: every
+    reset draws a fresh random route from a precomputed bank, completing a
+    route chains into a new one inside step, and episodes end at the
+    3000 m budget (route_env semantics; reference: carla_route_env.py).
+    `infos["laps_completed"]` carries routes_completed, like the metric
+    slot it rides internally.
+    """
+
+    _env_mod = route_env
+
+    def __init__(
+        self,
+        num_envs: int = 64,
+        track_seed: int = 0,
+        num_routes: int = 32,
+        reward_fn: str = "reward_speed_centering_angle_multiply",
+        action_smoothing: float = 0.0,
+        obs_fn: str = "vector",
+        is_training: bool = True,
+    ):
+        from carla_ppo_tpu.envs import route_planner
+
+        town = route_planner.make_town(seed=track_seed)
+        bank = route_planner.make_route_bank(
+            town, n_routes=num_routes, seed=track_seed
+        )
+        self.params = route_env.route_env_params(
+            bank,
+            action_smoothing=jnp.float32(action_smoothing),
+            reward_fn=reward_fn,
+        )
+        self._build(num_envs, obs_fn, is_training)
+
+    def _render_params(self) -> EnvParams:
+        rid = jax.tree.map(lambda x: x[0], self._states).route_id
+        return self.params.replace(
+            track=route_env.route_track(self.params.track, rid)
+        )

@@ -60,3 +60,25 @@ def test_reward_sign_matches_single_env(venv):
         _, rew, _, _, _ = venv.step(actions)
         total += rew
     assert (total > 0).all()
+
+
+def test_route_vector_env():
+    """RouteVectorEnv: same VectorEnv surface over the route family - fresh
+    random routes per reset, route chaining/3000 m budget inside step."""
+    from carla_ppo_tpu.envs.vector_env import RouteVectorEnv
+
+    venv = RouteVectorEnv(num_envs=4, num_routes=8, is_training=False)
+    assert isinstance(venv, gymnasium.vector.VectorEnv)
+    obs, _ = venv.reset(seed=3)
+    assert obs.shape == (4, venv.single_observation_space.shape[0])
+    # Random route draw: not every env starts on the same route.
+    rids = np.asarray(venv._states.route_id)
+    actions = np.tile(np.array([0.0, 1.0], np.float32), (4, 1))
+    for _ in range(30):
+        obs, rew, term, trunc, infos = venv.step(actions)
+    assert venv.observation_space.contains(obs)
+    assert (infos["distance_traveled"] > 0).all()
+    # routes_completed rides the laps_completed info slot (fractional).
+    assert (infos["laps_completed"] > 0).all()
+    frame = venv.render()
+    assert frame.shape[2] == 3
