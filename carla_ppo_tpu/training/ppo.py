@@ -36,7 +36,7 @@ from flax import struct
 from jax import Array
 
 from carla_ppo_tpu.envs import lap_bank_env, lap_env, route_env
-from carla_ppo_tpu.envs.types import EnvParams, EnvState
+from carla_ppo_tpu.envs.types import EnvParams, EnvState, TerminationReason
 from carla_ppo_tpu.models.policy import ActorCritic, gaussian_entropy, gaussian_log_prob
 from carla_ppo_tpu.ops import gae
 
@@ -747,6 +747,7 @@ def evaluate(
                 "laps": out.laps_completed,
                 "steps": out.step_count.astype(jnp.float32),
                 "overtakes": out.npc_overtakes,
+                "reason": out.termination_reason.astype(jnp.float32),
             },
         )
         done = jnp.logical_or(done, newly)
@@ -772,6 +773,7 @@ def evaluate(
         "laps": jnp.zeros(num_envs),
         "steps": jnp.zeros(num_envs),
         "overtakes": jnp.zeros(num_envs),
+        "reason": jnp.zeros(num_envs),
     }
 
     def chunk_cond(carry):
@@ -799,6 +801,8 @@ def evaluate(
             "laps": states.laps_completed,
             "steps": states.step_count.astype(jnp.float32),
             "overtakes": states.npc_overtakes,
+            # Budget survivors report RUNNING (0): they never terminated.
+            "reason": states.termination_reason.astype(jnp.float32),
         },
     )
     steps = jnp.maximum(snap["steps"], 1.0)
@@ -814,6 +818,15 @@ def evaluate(
         "eval/episode_steps": snap["steps"].mean(),
         "eval/finished": done.astype(jnp.float32).mean(),
         "eval/overtakes": snap["overtakes"].mean(),
+        # Per-cause episode counts ([len(TerminationReason)] array; the
+        # Trainer's writer flattens it to eval/termination_reasons/<id>).
+        # Index order follows envs.types.TerminationReason; budget survivors
+        # count under RUNNING (0).
+        "eval/termination_reasons": jax.nn.one_hot(
+            snap["reason"].astype(jnp.int32),
+            len(TerminationReason),
+            dtype=jnp.float32,
+        ).sum(axis=0),
     }
     if n_tracks:
         # Per-track mean laps (round-robin assignment above covers the bank).

@@ -197,7 +197,8 @@ def test_evaluate_runs(lap_params, model, variables):
         max_steps=200,
     )
     for k, v in metrics.items():
-        assert bool(jnp.isfinite(v)), k
+        # Metrics may be arrays (eval/termination_reasons histogram).
+        assert bool(jnp.isfinite(v).all()), k
     # An untrained policy at spawn can't finish a 3-lap episode in 200 steps
     # unless it terminates (stopped/off-track) - either way steps <= 200.
     assert float(metrics["eval/episode_steps"]) <= 200
@@ -439,3 +440,20 @@ def test_freeze_arg_holds_params(lap_params, model, small_config):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         ts_off.params, ts_live.params,
     )
+
+
+def test_evaluate_termination_reason_histogram(lap_params, model, variables):
+    """eval/termination_reasons counts one episode per env by cause;
+    budget survivors land on RUNNING, so the RUNNING mass complements the
+    finished fraction exactly."""
+    from carla_ppo_tpu.envs.types import TerminationReason
+
+    m = ppo_mod.evaluate(
+        variables, lap_params, model, jax.random.PRNGKey(1),
+        num_envs=4, max_steps=400,
+    )
+    hist = np.asarray(m["eval/termination_reasons"])
+    assert hist.shape == (len(TerminationReason),)
+    assert hist.sum() == 4.0
+    finished = float(m["eval/finished"]) * 4.0
+    assert hist[int(TerminationReason.RUNNING)] == 4.0 - finished
