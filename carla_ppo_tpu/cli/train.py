@@ -203,6 +203,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_npcs", type=int, default=0,
                         help="NPC traffic vehicles per env; > 0 also enables "
                              "real collision termination")
+    parser.add_argument("--npc_min_speed", type=float, default=4.0,
+                        help="NPC cruise-speed range lower bound (m/s); "
+                             "per-NPC speeds draw uniformly per episode")
+    parser.add_argument("--npc_max_speed", type=float, default=7.0,
+                        help="NPC cruise-speed range upper bound (m/s)")
     parser.add_argument("--obs_fn", type=str, default="vector",
                         choices=["vector", "vector_npc"],
                         help="Ground-truth vector obs variant: 'vector_npc' "
@@ -299,6 +304,8 @@ def main(argv=None) -> None:
         num_tracks=params["num_tracks"],
         rich_scene=params["rich_scene"],
         num_npcs=params["num_npcs"],
+        npc_min_speed=params["npc_min_speed"],
+        npc_max_speed=params["npc_max_speed"],
         fps=params["fps"],
         action_smoothing=params["action_smoothing"],
         reward_fn=params["reward_fn"],

@@ -58,6 +58,9 @@ class TrainerSettings:
     # num_npcs > 0 so hitting one actually ends the episode).
     rich_scene: bool = True
     num_npcs: int = 0
+    # NPC cruise-speed range (m/s); per-NPC speeds draw uniformly at reset.
+    npc_min_speed: float = 4.0
+    npc_max_speed: float = 7.0
     fps: int = 30
     action_smoothing: float = 0.0  # train.py:247 default
     reward_fn: str = "reward_speed_centering_angle_multiply"
@@ -161,6 +164,8 @@ class Trainer:
             action_smoothing=settings.action_smoothing,
             reward_fn=settings.reward_fn,
             num_npcs=jnp.int32(settings.num_npcs),
+            npc_min_speed=jnp.float32(settings.npc_min_speed),
+            npc_max_speed=jnp.float32(settings.npc_max_speed),
             terminate_on_collision=settings.num_npcs > 0,
             render_npc_billboards=settings.num_npcs > 0,
             junction_spawn_prob=jnp.float32(settings.junction_spawn_prob),

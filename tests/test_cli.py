@@ -221,3 +221,15 @@ def test_run_eval_parser_round3_knobs():
          "--obs_fn", "vector_npc"]
     )
     assert (args.obs, args.num_npcs, args.obs_fn) == ("pixels", 4, "vector_npc")
+
+
+def test_train_parser_npc_speed_knobs():
+    from carla_ppo_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--model_name", "m"])
+    assert (args.npc_min_speed, args.npc_max_speed) == (4.0, 7.0)
+    args = p.parse_args(
+        ["--model_name", "m", "--npc_min_speed", "2.5", "--npc_max_speed", "9"]
+    )
+    assert (args.npc_min_speed, args.npc_max_speed) == (2.5, 9.0)
