@@ -286,13 +286,20 @@ def step(
     )
     collision = collision | npc_hit
 
-    # Overtake events: an NPC's gap sign-flips ahead -> behind this step
-    # (never across the loop's far boundary, where the wrap jumps -L/2 ->
-    # +L/2 with ds_old < 0). NPCs passing a slower EGO flip behind -> ahead
-    # and do not count.
+    # Overtake events: an NPC's gap sign-flips ahead -> behind this step.
+    # Two far-boundary wrap artifacts must NOT count: an NPC lapping a
+    # slower ego flips +L/2 -> -L/2 (ds_old > 0 and ds <= 0, exactly the
+    # pass signature, but with a ~L jump - round-4 review finding: it paid
+    # a phantom pass_bonus once per NPC per relative lap), and the ego
+    # lapping an NPC flips -L/2 -> +L/2 (ds_old < 0, never matches). A true
+    # pass moves the gap by at most a few meters per tick, so requiring a
+    # small step kills both artifacts without touching real passes.
     ds_old = wrap_gap(state.npc_s - state.waypoint_idx.astype(jnp.float32))
+    small_step = jnp.abs(ds_old - ds) < length_f / 4.0
     npc_just_passed = jnp.sum(
-        (active_npc & (ds_old > 0.0) & (ds <= 0.0)).astype(jnp.float32)
+        (active_npc & (ds_old > 0.0) & (ds <= 0.0) & small_step).astype(
+            jnp.float32
+        )
     )
 
     step_count = state.step_count + 1

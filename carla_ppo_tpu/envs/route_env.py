@@ -118,6 +118,12 @@ def reset(
         bias, _junction_spawn_idx(track, params, k_pick), jnp.int32(0)
     )
     state = _spawn_on_route(state, bank, route_id, start_idx)
+    # Mid-route spawns must not count the skipped prefix as progress (the
+    # routes_completed metric subtracts this; 0 for route-start spawns).
+    state = state.replace(
+        route_frac_offset=start_idx.astype(jnp.float32)
+        / track.length.astype(jnp.float32)
+    )
     return lap_env._with_derived(state, params.replace(track=track))
 
 
@@ -153,12 +159,15 @@ def step(
     per_env_params = params.replace(track=route_track(bank, state.route_id))
     next_state, out = lap_env.step(state, action, per_env_params, obs_fn=obs_fn)
 
-    # routes_completed metric (reference: carla_route_env.py:366).
+    # routes_completed metric (reference: carla_route_env.py:366), less the
+    # spawn prefix a junction-curriculum reset skipped (route_frac_offset;
+    # 0 on reference-parity route-start spawns).
     track = route_track(bank, next_state.route_id)
     routes_completed = (
         next_state.num_routes_completed.astype(jnp.float32)
         + (next_state.waypoint_idx.astype(jnp.float32) + 1.0)
         / track.length.astype(jnp.float32)
+        - next_state.route_frac_offset
     )
     next_state = next_state.replace(laps_completed=routes_completed)
     out = out.replace(laps_completed=routes_completed)

@@ -267,6 +267,13 @@ class EnvState:
     npc_overtakes: jax.Array = struct.field(
         default_factory=lambda: jnp.float32(0.0)
     )
+    # Route env: fractional-route credit of the episode's SPAWN position
+    # (start_waypoint_idx / route length at reset; 0 unless the junction
+    # curriculum spawned mid-route). Subtracted from routes_completed so a
+    # mid-route spawn doesn't count its skipped prefix as driven progress.
+    route_frac_offset: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
 
 
 class TerminationReason(enum.IntEnum):

@@ -564,6 +564,10 @@ class Trainer:
                 if self.settings.record_eval:
                     video = os.path.join(self.video_dir, f"iteration{it}.avi")
                     self.record_eval_video(video)
+                    if self._watchdog is not None:
+                        # Cold-compile video renders can legitimately take
+                        # minutes on the remote path, same as evals.
+                        self._watchdog.beat()
                 # Best-checkpoint criterion: task completion first, reward as
                 # the tie-breaker. The reference keys on reward alone
                 # (train.py:130-132), but completing the task ENDS the

@@ -24,7 +24,7 @@ from flax import struct
 from jax import Array
 
 from carla_ppo_tpu.envs import lap_bank_env, lap_env, route_env
-from carla_ppo_tpu.envs.types import EnvParams, EnvState
+from carla_ppo_tpu.envs.types import EnvParams, EnvState, TerminationReason
 from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
 from carla_ppo_tpu.models.policy import gaussian_entropy, gaussian_log_prob
 from carla_ppo_tpu.models.vae import vae_loss
@@ -620,6 +620,7 @@ def evaluate(
                 "laps": out.laps_completed,
                 "steps": out.step_count.astype(jnp.float32),
                 "overtakes": out.npc_overtakes,
+                "reason": out.termination_reason.astype(jnp.float32),
             },
         )
         done = jnp.logical_or(done, newly)
@@ -646,6 +647,7 @@ def evaluate(
         "laps": jnp.zeros(num_envs),
         "steps": jnp.zeros(num_envs),
         "overtakes": jnp.zeros(num_envs),
+        "reason": jnp.zeros(num_envs),
     }
 
     def chunk_cond(carry):
@@ -673,6 +675,8 @@ def evaluate(
             "laps": states.laps_completed,
             "steps": states.step_count.astype(jnp.float32),
             "overtakes": states.npc_overtakes,
+            # Budget survivors report RUNNING (0): they never terminated.
+            "reason": states.termination_reason.astype(jnp.float32),
         },
     )
     steps = jnp.maximum(snap["steps"], 1.0)
@@ -688,4 +692,11 @@ def evaluate(
         "eval/episode_steps": snap["steps"].mean(),
         "eval/finished": done.astype(jnp.float32).mean(),
         "eval/overtakes": snap["overtakes"].mean(),
+        # Per-cause episode counts (mirrors ppo.evaluate; the Trainer's
+        # writer flattens to eval/termination_reasons/<id>).
+        "eval/termination_reasons": jax.nn.one_hot(
+            snap["reason"].astype(jnp.int32),
+            len(TerminationReason),
+            dtype=jnp.float32,
+        ).sum(axis=0),
     }

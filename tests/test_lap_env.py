@@ -192,3 +192,28 @@ def test_npc_overtake_event_detection(lap_params):
     # A fresh reset zeroes the episode counter.
     s2 = lap_env.reset(p, jax.random.PRNGKey(1))
     assert float(s2.npc_overtakes) == 0.0
+
+
+def test_npc_lapping_ego_is_not_an_overtake(lap_params):
+    """A FASTER NPC whose lead wraps past +L/2 on the loop flips its gap
+    sign exactly like a pass (+L/2 -> -L/2) but must NOT count (round-4
+    review finding: it paid a phantom pass_bonus once per relative lap)."""
+    import jax
+
+    p = lap_params.replace(num_npcs=jnp.int32(1))
+    s = lap_env.reset(p, jax.random.PRNGKey(0))
+    L = float(p.track.length)
+    # NPC just under half a track ahead and moving fast; a stationary-ish
+    # ego watches the wrapped gap jump to -L/2 within a few steps.
+    s = s.replace(
+        vehicle=s.vehicle.replace(vx=jnp.float32(1.0)),
+        npc_s=s.npc_s.at[0].set(
+            s.waypoint_idx.astype(jnp.float32) + L / 2.0 - 0.5
+        ),
+        npc_speed=s.npc_speed.at[0].set(jnp.float32(10.0)),
+        npc_lateral=s.npc_lateral.at[0].set(jnp.float32(2.5)),
+    )
+    action = jnp.asarray([0.0, 0.0], jnp.float32)
+    for _ in range(10):
+        s, out = lap_env.step(s, action, p)
+    assert float(s.npc_overtakes) == 0.0

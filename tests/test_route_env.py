@@ -303,3 +303,21 @@ def test_junction_spawn_curriculum(rparams):
     # prob=0 (default): training resets also stay at the route start.
     off = jax.vmap(lambda k: route_env.reset(rparams, k, is_training=True))(keys)
     assert (np.asarray(off.waypoint_idx) == 0).all()
+
+
+def test_junction_spawn_does_not_inflate_routes_metric(rparams):
+    """A mid-route curriculum spawn must not count the skipped prefix as
+    driven progress: routes_completed starts near 0, and the first chained
+    route credits only the driven fraction."""
+    p = rparams.replace(junction_spawn_prob=jnp.float32(1.0))
+    # Find a seed whose spawn is well past the route start.
+    for seed in range(20):
+        s = route_env.reset(p, jax.random.PRNGKey(seed), is_training=True)
+        if int(s.waypoint_idx) > 30:
+            break
+    assert int(s.waypoint_idx) > 30
+    s2, out = route_env.step(s, jnp.asarray([0.0, 1.0], jnp.float32), p)
+    # One step from a deep spawn: ~0 routes completed, NOT spawn/length.
+    assert float(out.laps_completed) < 0.02
+    # The offset persists across route chaining (total = driven fractions).
+    assert float(s2.route_frac_offset) > 0.0

@@ -402,14 +402,16 @@ def test_stall_watchdog():
     from carla_ppo_tpu.utils import watchdog as wd
 
     calls = []
+    # Generous margins: the suite runs serially on one CPU core, so beat
+    # gaps can stretch well past their nominal sleep under load.
     w = wd.StallWatchdog(
-        timeout_s=0.4, check_interval_s=0.05, _exit_fn=calls.append
+        timeout_s=2.0, check_interval_s=0.05, _exit_fn=calls.append
     )
-    for _ in range(12):
+    for _ in range(8):
         w.beat()
-        time.sleep(0.05)
+        time.sleep(0.1)
     assert not calls  # beaten faster than the timeout: never fires
-    time.sleep(1.0)  # go quiet past the timeout
+    time.sleep(3.0)  # go quiet past the timeout
     assert calls and calls[0] == wd.STALL_EXIT_CODE
     w.stop()
     w._thread.join(timeout=2.0)

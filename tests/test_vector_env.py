@@ -73,6 +73,7 @@ def test_route_vector_env():
     assert obs.shape == (4, venv.single_observation_space.shape[0])
     # Random route draw: not every env starts on the same route.
     rids = np.asarray(venv._states.route_id)
+    assert len(set(rids.tolist())) > 1
     actions = np.tile(np.array([0.0, 1.0], np.float32), (4, 1))
     for _ in range(30):
         obs, rew, term, trunc, infos = venv.step(actions)
