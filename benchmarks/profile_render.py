@@ -23,14 +23,10 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+# block_until_ready does not actually wait on the axon remote platform
+# (returns in ~16 us for multi-ms programs - round-3 measurement), so all
+# timing goes through the host-fetch-synchronized helper.
+from carla_ppo_tpu.utils.profiling import timeit_device as timeit  # noqa: E402
 
 
 def main():
@@ -56,10 +52,12 @@ def main():
     }
     results = {}
     for name, cam in cams.items():
+        # Reduce to a scalar on-device: the sync in timeit is a host fetch
+        # of the smallest output leaf, and it must not transfer the frames.
         fn = jax.jit(
             lambda s, cam=cam: jax.vmap(
                 lambda st: R.render_semantic(st, env_params, cam)
-            )(s)
+            )(s).sum(dtype=jnp.int32)
         )
         results[f"render_{name}_ms"] = round(timeit(fn, states, iters=args.iters) * 1e3, 2)
 
@@ -103,7 +101,7 @@ def main():
     obs = R.seg_to_obs(frames)
 
     def encode(v, o):
-        return vae.apply(v, o, method=vae.encode)
+        return vae.apply(v, o, method=vae.encode).sum(dtype=jnp.float32)
 
     enc = jax.jit(encode)
     results["vae_encode_ms"] = round(timeit(enc, vae_vars, obs, iters=args.iters) * 1e3, 2)

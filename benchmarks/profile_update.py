@@ -29,14 +29,12 @@ import jax.numpy as jnp
 import optax
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+# block_until_ready does not actually wait on the axon remote platform
+# (returns in ~16 us for multi-ms programs - round-3 measurement), so all
+# timing goes through the host-fetch-synchronized helper (the per-leg sync
+# fetches the smallest output leaf; every leg here has a <= [B]-sized leaf,
+# so the transfer bias is microseconds amortized over the iters).
+from carla_ppo_tpu.utils.profiling import timeit_device as timeit  # noqa: E402
 
 
 def main():

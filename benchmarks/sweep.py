@@ -21,19 +21,25 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+# block_until_ready does not actually wait on the axon remote platform
+# (returns in ~16 us for multi-ms programs - round-3 measurement), so all
+# timing goes through the host-fetch-synchronized helper.
+from carla_ppo_tpu.utils.profiling import timeit_device as timeit  # noqa: E402
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--batches", type=str, default=None,
+                        help="comma list of env-batch sizes (overrides --quick)")
+    parser.add_argument("--only", type=str, default=None,
+                        choices=["env", "vector", "render", "latent"],
+                        help="run a single pipeline leg")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16", "mixed"],
+                        help="policy compute dtype for the ppo_train_vector "
+                             "leg; 'mixed' = bfloat16 rollout twin + float32 "
+                             "update (the train CLI default)")
     args = parser.parse_args()
 
     from carla_ppo_tpu.envs import lap_env, track
@@ -45,7 +51,18 @@ def main():
 
     env_params = EnvParams(track=track.make_lap_track(seed=0))
     model = ActorCritic()
-    batches = [256, 1024] if args.quick else [256, 1024, 4096, 8192]
+    # The vector leg's compute dtype: "mixed" keeps the update model float32
+    # and hands train_iteration a bfloat16 twin as the rollout behavior
+    # policy (exact importance sampling; see ppo.train_iteration docstring).
+    if args.dtype == "mixed":
+        vec_model, vec_rollout_model = model, ActorCritic(dtype=jnp.bfloat16)
+    else:
+        vec_model = ActorCritic(dtype=jnp.dtype(args.dtype))
+        vec_rollout_model = None
+    if args.batches:
+        batches = [int(b) for b in args.batches.split(",")]
+    else:
+        batches = [256, 1024] if args.quick else [256, 1024, 4096, 8192]
     results = []
 
     def report(name, batch, unit_count, seconds, unit="env_steps/sec"):
@@ -79,24 +96,38 @@ def main():
 
             return jax.lax.scan(body, envs, jax.random.split(key, T))
 
-        dt = timeit(env_only, envs, rng)
-        report("env_step_only", B, B * T, dt)
+        if args.only in (None, "env"):
+            dt = timeit(env_only, envs, rng)
+            report("env_step_only", B, B * T, dt)
 
         # 2. full PPO iteration, vector obs.
-        config = ppo.PPOConfig(num_envs=B, horizon=T)
-        ts = ppo.create_train_state(model, config, vector_obs_dim(), rng)
+        if args.only in (None, "vector"):
+            config = ppo.PPOConfig(num_envs=B, horizon=T)
+            ts = ppo.create_train_state(
+                vec_model, config, vector_obs_dim(), rng
+            )
 
-        def train_it(ts, envs):
-            return ppo.train_iteration(ts, envs, env_params, model, config)
+            def train_it(ts, envs):
+                return ppo.train_iteration(
+                    ts, envs, env_params, vec_model, config,
+                    rollout_model=vec_rollout_model,
+                )
 
-        dt = timeit(train_it, ts, envs, iters=5)
-        report("ppo_train_vector", B, B * T, dt)
+            dt = timeit(train_it, ts, envs, iters=5)
+            report(f"ppo_train_vector_{args.dtype}", B, B * T, dt)
 
-        # 3. semantic camera render.
-        dt = timeit(lambda e: R.render_batch(e, env_params), envs)
-        report("seg_render", B, B, dt, unit="frames/sec")
+        # 3. semantic camera render (reduced to a scalar on-device so the
+        # sync fetch is not a 13 MB frame transfer).
+        if args.only in (None, "render"):
+            render = jax.jit(
+                lambda e: R.render_batch(e, env_params).sum(dtype=jnp.int32)
+            )
+            dt = timeit(render, envs)
+            report("seg_render", B, B, dt, unit="frames/sec")
 
     # 4. latent-obs training at the default batch.
+    if args.only not in (None, "latent"):
+        return
     B, T = 1024 if not args.quick else 256, 128
     from carla_ppo_tpu.models import vae_common
 

@@ -15,6 +15,43 @@ from typing import Dict, Iterator, Optional
 import jax
 
 
+def sync_fetch(out) -> None:
+    """Force completion of `out` with a minimal device->host readback.
+
+    On the axon remote TPU platform `jax.block_until_ready` can return
+    WITHOUT waiting (measured round 3: 0.016 ms for a chained 2048^2-matmul
+    program whose real device time is milliseconds), so the only reliable
+    completion barrier is an actual host fetch. Device execution is serial
+    per chip, so transferring one leaf of the last enqueued program fences
+    everything enqueued before it; this fetches the SMALLEST array leaf to
+    keep the transfer cheap. Large buffers still cost real transfer time
+    (a [1024, 80, 160] frame batch ~22 ms - bench.py module docstring):
+    reduce to a scalar on-device before timing where possible.
+    """
+    import numpy as np
+
+    leaves = [
+        l for l in jax.tree_util.tree_leaves(out) if hasattr(l, "size")
+    ]
+    if leaves:
+        np.asarray(min(leaves, key=lambda l: l.size))
+
+
+def timeit_device(fn, *args, iters: int = 10) -> float:
+    """Mean seconds/call over `iters` enqueued calls of `fn(*args)`,
+    synchronized ONCE at the end via `sync_fetch` (the bench.py
+    methodology). The first call - compile + warmup - is excluded. Do NOT
+    time with `jax.block_until_ready` on the axon platform: it does not
+    block (see `sync_fetch`)."""
+    out = fn(*args)
+    sync_fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    sync_fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str) -> Iterator[None]:
     """Capture a device profile (xplane) for the enclosed block.

@@ -123,3 +123,31 @@ def test_model_dir_name_roundtrip():
     name2 = model_dir_name("rgb", "bce", "cnn", 64, 1.0, 0.0, source_depth=1)
     assert name2.startswith("from_seg_bce_")
     assert parse_model_dir(name2) == (64, "cnn", 3, 1)
+
+
+def test_timeit_device_and_sync_fetch():
+    """timeit_device must actually wait for device work (host-fetch sync, NOT
+    block_until_ready - which does not block on the axon remote platform)
+    and return a sane positive per-call time; sync_fetch must handle pytrees
+    and pick the smallest leaf without error."""
+    import jax
+    import jax.numpy as jnp
+
+    from carla_ppo_tpu.utils.profiling import sync_fetch, timeit_device
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def f(x):
+        return {"big": x * 2.0, "small": x.sum()}
+
+    def wrapped(x):
+        calls["n"] += 1
+        return f(x)
+
+    x = jnp.ones((64, 64))
+    dt = timeit_device(wrapped, x, iters=3)
+    assert dt > 0.0
+    assert calls["n"] == 4  # 1 warmup + 3 timed
+    sync_fetch({"a": jnp.ones(3), "b": (jnp.zeros(()), None)})
+    sync_fetch(None)  # no array leaves: no-op
