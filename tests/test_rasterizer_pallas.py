@@ -95,13 +95,13 @@ def test_composed_rich_scene_with_billboards():
     params = EnvParams(track=track_mod.make_lap_track(seed=0, props=True))
     keys = jax.random.split(jax.random.PRNGKey(2), GROUP)
     states = jax.vmap(lambda k: lap_env.reset(params, k))(keys)
-    ref = np.asarray(R.render_batch(states, params))  # CPU -> XLA path
-    comp = np.asarray(
-        R._render_batch_pallas_composed(
-            states, params, R.CameraConfig(), R.RoadStyle(), interpret=True
-        )
+    # CPU -> XLA fallback path for both returns (rich + de-prop ground).
+    ref_rich, ref_ground = R.render_batch_with_ground(states, params)
+    comp_rich, comp_ground = R._render_batch_pallas_composed(
+        states, params, R.CameraConfig(), R.RoadStyle(), interpret=True
     )
-    assert (ref == comp).mean() == 1.0
+    assert (np.asarray(ref_rich) == np.asarray(comp_rich)).mean() == 1.0
+    assert (np.asarray(ref_ground) == np.asarray(comp_ground)).mean() == 1.0
 
 
 def test_render_batch_cpu_fallback(lap_params, batch):
