@@ -161,14 +161,18 @@ def create_encode_batch_fn(
     measurements_to_include=("steer", "throttle", "speed"),
     cam: rasterizer.CameraConfig = rasterizer.CameraConfig(),
     banked: bool = False,
+    source: str = "seg",
 ) -> Callable[[EnvState, EnvParams], Array]:
-    """BATCH-level latent observation builder (seg source).
+    """BATCH-level latent observation builder.
 
     Same output as vmap(create_encode_state_fn(...)) but renders through
-    rasterizer.render_batch / render_batch_banked, which dispatch the fused
-    Pallas ground kernel on TPU - the per-env vmapped render_semantic cannot
-    take that path. `banked=True` for route/lap_bank batches whose
-    params.track is a bank indexed by states.route_id."""
+    rasterizer.render_batch / render_batch_banked / render_rgb_batch, which
+    dispatch the fused Pallas ground kernel on TPU - the per-env vmapped
+    render_semantic cannot take that path. `banked=True` for route/lap_bank
+    batches whose params.track is a bank indexed by states.route_id.
+    `source="rgb"` feeds the shaded pseudo-RGB frames (the reference's
+    deployed observation path: RGB dashcam through the VAE,
+    vae_common.py:33-62); banked rgb falls back to the vmapped renderer."""
     measure_flags = (
         "steer" in measurements_to_include,
         "throttle" in measurements_to_include,
@@ -177,11 +181,25 @@ def create_encode_batch_fn(
     src_depth = model.source_shape[-1]
     render = rasterizer.render_batch_banked if banked else rasterizer.render_batch
 
+    def render_rgb_frames(states: EnvState, params: EnvParams) -> Array:
+        if banked:
+            def one(s, p):
+                per_env = p.replace(
+                    track=jax.tree.map(lambda x: x[s.route_id], p.track)
+                )
+                return rasterizer.render_rgb(s, per_env, cam)
+
+            return jax.vmap(one, in_axes=(0, None))(states, params)
+        return rasterizer.render_rgb_batch(states, params, cam)
+
     def encode_batch(states: EnvState, params: EnvParams) -> Array:
-        cls = render(states, params, cam)
-        frames = rasterizer.seg_to_obs(cls)  # [B, H, W, 1]
-        if src_depth == 3:
-            frames = jnp.repeat(frames, 3, axis=-1)
+        if source == "rgb":
+            frames = render_rgb_frames(states, params)  # [B, H, W, 3]
+        else:
+            cls = render(states, params, cam)
+            frames = rasterizer.seg_to_obs(cls)  # [B, H, W, 1]
+            if src_depth == 3:
+                frames = jnp.repeat(frames, 3, axis=-1)
         z = model.apply(variables, frames, method=model.encode)  # [B, z]
         feats = [z]
         if measure_flags[0]:

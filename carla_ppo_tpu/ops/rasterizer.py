@@ -637,6 +637,43 @@ def seg_to_rgb(cls: Array) -> Array:
     return onehot @ SEG_PALETTE
 
 
+def _shade_rgb(
+    cls: Array,
+    depth: Array,
+    sky: Array,
+    cam: CameraConfig,
+    key: Array | None = None,
+) -> Array:
+    """Palette + depth-fog + sky-gradient shading, [..., H, W] -> [..., H, W, 3].
+
+    Batch-dimension agnostic: the per-pixel constants ([P]-shaped ray
+    verticals) broadcast over any leading env dims."""
+    lead = cls.shape[:-2]
+    cls = cls.reshape(*lead, -1)
+    depth = depth.reshape(*lead, -1)
+    sky = sky.reshape(*lead, -1)
+    base = jax.nn.one_hot(cls, SEG_PALETTE.shape[0], dtype=jnp.float32) @ SEG_PALETTE
+
+    # Depth fog: fade ground toward a horizon haze color.
+    haze = jnp.asarray([0.74, 0.78, 0.82])
+    fog = jnp.clip(jnp.where(sky, 0.0, depth) / 250.0, 0.0, 1.0)[..., None]
+    ground_rgb = base * (1.0 - fog) + haze * fog
+
+    # Sky: vertical gradient from zenith blue to horizon haze.
+    _, vert = _pixel_rays(cam)
+    sky_t = jnp.clip(vert / 0.5, 0.0, 1.0)[:, None]
+    zenith = jnp.asarray([0.35, 0.52, 0.78])
+    sky_rgb = haze * (1.0 - sky_t) + zenith * sky_t
+
+    rgb = jnp.where(sky[..., None], sky_rgb, ground_rgb)
+
+    if key is not None:
+        rgb = jnp.clip(
+            rgb + 0.02 * jax.random.normal(key, rgb.shape), 0.0, 1.0
+        )
+    return rgb.reshape(*lead, cam.height, cam.width, 3)
+
+
 def render_rgb(
     state: EnvState,
     params: EnvParams,
@@ -655,27 +692,49 @@ def render_rgb(
     cls, depth, sky = _ground_pass(state, params, cam, style)
     if cam.render_props:
         cls, depth, sky = billboard_pass(cls, depth, sky, state, params, cam)
-    cls, depth, sky = cls.reshape(-1), depth.reshape(-1), sky.reshape(-1)
-    base = jax.nn.one_hot(cls, SEG_PALETTE.shape[0], dtype=jnp.float32) @ SEG_PALETTE
+    return _shade_rgb(cls, depth, sky, cam, key)
 
-    # Depth fog: fade ground toward a horizon haze color.
-    haze = jnp.asarray([0.74, 0.78, 0.82])
-    fog = jnp.clip(jnp.where(sky, 0.0, depth) / 250.0, 0.0, 1.0)[:, None]
-    ground_rgb = base * (1.0 - fog) + haze[None, :] * fog
 
-    # Sky: vertical gradient from zenith blue to horizon haze.
-    _, vert = _pixel_rays(cam)
-    sky_t = jnp.clip(vert / 0.5, 0.0, 1.0)[:, None]
-    zenith = jnp.asarray([0.35, 0.52, 0.78])
-    sky_rgb = haze[None, :] * (1.0 - sky_t) + zenith[None, :] * sky_t
+@partial(jax.jit, static_argnames=("cam", "style"))
+def render_rgb_batch(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+    key: Array | None = None,
+) -> Array:
+    """[B, H, W, 3] shaded pseudo-RGB frames for a vmapped env batch.
 
-    rgb = jnp.where(sky[:, None], sky_rgb, ground_rgb)
+    The batch analog of render_rgb: on TPU, shared-track batches divisible by
+    the kernel group run the fused Pallas ground pass (the same dispatch rule
+    as render_batch), then the billboard composite and shading run batched in
+    XLA. This is what makes `--vae_source rgb` rollouts (the reference's
+    deployed observation path, vae_common.py:33-62) render at the same
+    per-frame cost as the seg pipeline.
 
-    if key is not None:
-        rgb = jnp.clip(
-            rgb + 0.02 * jax.random.normal(key, rgb.shape), 0.0, 1.0
-        )
-    return rgb.reshape(cam.height, cam.width, 3)
+    `key`: optional texture-noise key (one key for the whole batch; the
+    vmapped fallback splits it per env, so noise - and only noise - differs
+    between the two paths)."""
+    if _pallas_ground_eligible(states, params):
+        from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v4
+
+        ground = render_batch_pallas_v4(states, params, cam, style)
+        depth0, sky0 = _static_depth_sky(cam)
+        if cam.render_props:
+            cls, depth, sky = jax.vmap(
+                lambda c, s: billboard_pass(c, depth0, sky0, s, params, cam)
+            )(ground, states)
+        else:
+            cls = ground
+            depth = jnp.broadcast_to(depth0, ground.shape)
+            sky = jnp.broadcast_to(sky0, ground.shape)
+        return _shade_rgb(cls, depth, sky, cam, key)
+    if key is None:
+        return jax.vmap(lambda s: render_rgb(s, params, cam, style))(states)
+    keys = jax.random.split(key, states.waypoint_idx.shape[0])
+    return jax.vmap(
+        lambda s, k: render_rgb(s, params, cam, style, key=k)
+    )(states, keys)
 
 
 def _static_depth_sky(cam: CameraConfig):
@@ -715,13 +774,13 @@ def _render_batch_pallas_composed(
     style: RoadStyle,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Pallas v3d ground pass + (optional) XLA billboard composite.
+    """Pallas v4 ground pass + (optional) XLA billboard composite.
 
     Returns (rich, ground): the pre-composite ground pass is the de-prop
     target, so both batch entry points share this one dispatch site."""
-    from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v3d
+    from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v4
 
-    ground = render_batch_pallas_v3d(states, params, cam, style, interpret)
+    ground = render_batch_pallas_v4(states, params, cam, style, interpret)
     cls = ground
     if cam.render_props:
         depth, sky = _static_depth_sky(cam)
@@ -788,7 +847,7 @@ def render_batch_banked(
     tracks = jax.tree.map(lambda x: x[states.route_id], params.track)
     B = states.waypoint_idx.shape[0]
     if jax.default_backend() not in ("cpu",) and B % rp.GROUP == 0:
-        cls = rp.render_batch_pallas_v3d(states, params, cam, style, tracks=tracks)
+        cls = rp.render_batch_pallas_v4(states, params, cam, style, tracks=tracks)
         if cam.render_props:
             depth, sky = _static_depth_sky(cam)
             cls = jax.vmap(

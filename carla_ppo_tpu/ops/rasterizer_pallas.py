@@ -340,6 +340,228 @@ def _make_kernel_v3d(stripe_plan, style: RoadStyle):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Kernel v4: v3d + the Frenet tail, classification ladder and output write
+# batched over the GROUP envs of a program. v3d ran those on [1, Ppad] rows -
+# one useful sublane of eight per vreg, so ~37 ops/env/stripe of tail+ladder
+# paid 8x their useful cost. v4 stores each env's nearest-waypoint payload
+# into a component-major VMEM scratch (rows c*GROUP+g; component slices are
+# 8-sublane-aligned [GROUP, Ppad] blocks) and runs the tail+ladder ONCE per
+# stripe on [GROUP, Ppad]. The per-env selection (d2 block, min, one-hot,
+# payload matmul) is unchanged from v3d - bit-identical output.
+# ---------------------------------------------------------------------------
+
+
+def _classify_block(lat, s, dist, lw, rw, style: RoadStyle):
+    """The classification ladder on [R, P] blocks (shape from the inputs)."""
+    on_road = jnp.logical_and(lat >= -rw, lat <= lw)
+    edge_line = jnp.logical_or(
+        jnp.abs(lat - lw) <= style.edge_line_width / 2.0,
+        jnp.abs(lat + rw) <= style.edge_line_width / 2.0,
+    )
+    dash_on = jnp.mod(s, style.center_dash_period) < (
+        style.center_dash_period * style.center_dash_duty
+    )
+    road_center = (lw - rw) / 2.0
+    center_line = jnp.logical_and(
+        jnp.abs(lat - road_center) <= style.center_line_half_width, dash_on
+    )
+    off = jnp.maximum(lat - lw, -rw - lat)
+    shoulder = jnp.logical_and(off > 0.0, off <= style.shoulder_width)
+    sidewalk = jnp.logical_and(
+        off > style.shoulder_width,
+        off <= style.shoulder_width + style.sidewalk_width,
+    )
+    widest = jnp.maximum(lw, rw)
+    corridor = (
+        dist <= widest + style.shoulder_width + style.sidewalk_width + 25.0
+    )
+    cls = jnp.full(lat.shape, int(SegClass.VEGETATION), jnp.int32)
+    cls = jnp.where(sidewalk, int(SegClass.SIDEWALKS), cls)
+    cls = jnp.where(shoulder, int(SegClass.OTHER), cls)
+    cls = jnp.where(on_road, int(SegClass.ROADS), cls)
+    cls = jnp.where(
+        jnp.logical_and(on_road, center_line), int(SegClass.ROADLINES), cls
+    )
+    cls = jnp.where(edge_line, int(SegClass.ROADLINES), cls)
+    cls = jnp.where(~corridor, int(SegClass.VEGETATION), cls)
+    return cls
+
+
+def _make_kernel_v4(stripe_plan, style: RoadStyle, group: int):
+    """stripe_plan: ((K, offset, Ppad), ...) static per-stripe layout."""
+
+    def kernel(win_ref, payload_ref, slab_ref, out_ref, sc_ref):
+        for K, off, Ppad in stripe_plan:
+            a1 = slab_ref[0:1, off:off + Ppad]
+            b1 = slab_ref[1:2, off:off + Ppad]
+            for g in range(group):
+                wx = win_ref[g, 0:K, 0:1]
+                wy = win_ref[g, 0:K, 1:2]
+                dx = a1 - wx
+                dy = b1 - wy
+                d2 = dx * dx + dy * dy
+                d2_min = jnp.min(d2, axis=0, keepdims=True)
+                kk = jax.lax.broadcasted_iota(jnp.int32, (K, Ppad), 0)
+                nearest = jnp.min(
+                    jnp.where(d2 == d2_min, kk, K), axis=0, keepdims=True
+                )
+                onehot = (kk == nearest).astype(jnp.float32)
+                near = jnp.dot(
+                    payload_ref[g, :, 0:K], onehot,
+                    preferred_element_type=jnp.float32,
+                )  # [8, Ppad]: fx, fy, c_lat, c_along, kidx, lw, rw, 0
+                for c in range(7):
+                    r = c * group + g
+                    sc_ref[r:r + 1, 0:Ppad] = near[c:c + 1, :]
+                r = 7 * group + g
+                sc_ref[r:r + 1, 0:Ppad] = d2_min
+            # Batched Frenet tail + ladder, [group, Ppad], full sublane use.
+            n_fx = sc_ref[0:group, 0:Ppad]
+            n_fy = sc_ref[group:2 * group, 0:Ppad]
+            c_lat = sc_ref[2 * group:3 * group, 0:Ppad]
+            c_along = sc_ref[3 * group:4 * group, 0:Ppad]
+            kidx = sc_ref[4 * group:5 * group, 0:Ppad]
+            lw = sc_ref[5 * group:6 * group, 0:Ppad]
+            rw = sc_ref[6 * group:7 * group, 0:Ppad]
+            d2m = sc_ref[7 * group:8 * group, 0:Ppad]
+            lat = b1 * n_fx - a1 * n_fy + c_lat
+            s = kidx + a1 * n_fx + b1 * n_fy + c_along
+            dist = jnp.sqrt(jnp.maximum(d2m, 0.0))
+            cls = _classify_block(lat, s, dist, lw, rw, style)
+            out_ref[:, off:off + Ppad] = cls
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _stripe_layout(cam: CameraConfig):
+    """Static packed-slab layout shared by v3d/v4: (plan, slab [2, SUMP] numpy,
+    pixel_slices) where plan = ((K, offset, Ppad), ...)."""
+    import numpy as np
+
+    from carla_ppo_tpu.ops.rasterizer import _row_stripes
+
+    _, stripes = _row_stripes(cam)
+    plan, slabs, pixel_slices = [], [], []
+    off = 0
+    for row_lo, row_hi, K in stripes:
+        H, Wc, f = cam.height, cam.width, cam.focal
+        u = np.arange(Wc) + 0.5
+        v = np.arange(row_lo, row_hi) + 0.5
+        lateral = (u[None, :] - Wc / 2.0) / f
+        vert = (H / 2.0 - v[:, None]) / f + math.tan(
+            math.radians(cam.pitch_deg)
+        )
+        with np.errstate(divide="ignore"):
+            t = np.where(
+                vert >= -1e-6, 0.0, cam.mount_height / np.maximum(-vert, 1e-12)
+            )
+        a = np.broadcast_to(t, (row_hi - row_lo, Wc)).reshape(-1)
+        b = (-t * lateral).reshape(-1)
+        P = a.shape[0]
+        Ppad = -(-P // 128) * 128
+        slab = np.zeros((2, Ppad), np.float32)
+        slab[0, :P] = a
+        slab[1, :P] = b
+        slabs.append(slab)
+        plan.append((K, off, Ppad))
+        pixel_slices.append((off, P))
+        off += Ppad
+    return tuple(plan), np.concatenate(slabs, axis=1), tuple(pixel_slices)
+
+
+def _prep_windows(states, params, cam: CameraConfig, tracks=None):
+    """XLA prep shared by v3d/v4: per-env camera-rotated waypoint windows.
+
+    Returns (win_cols [B, K, 8], payload [B, 8, K])."""
+
+    from carla_ppo_tpu.ops.rasterizer import _window_table
+
+    def prep(state, track):
+        idxs = _window_indices(state.waypoint_idx, cam)
+        win = wp_gather(_window_table(track), idxs, track.length, track.is_loop)
+        yaw = state.vehicle.yaw
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        cam_xy = state.vehicle.pos + jnp.stack([cy, sy]) * cam.mount_forward
+        wlx = win[:, 0] - cam_xy[0]
+        wly = win[:, 1] - cam_xy[1]
+        wpx = cy * wlx + sy * wly
+        wpy = -sy * wlx + cy * wly
+        fpx = cy * win[:, 2] + sy * win[:, 3]
+        fpy = -sy * win[:, 2] + cy * win[:, 3]
+        c_lat = fpy * wpx - fpx * wpy
+        c_along = -(wpx * fpx + wpy * fpy)
+        idx0 = (state.waypoint_idx - cam.window_behind).astype(jnp.float32)
+        kidx = idx0 + jnp.arange(win.shape[0], dtype=jnp.float32)
+        K0 = win.shape[0]
+        zeros = jnp.zeros((K0,), jnp.float32)
+        win_cols = jnp.stack(
+            [wpx, wpy, zeros, zeros, zeros, zeros, zeros, zeros], axis=1
+        )
+        payload = jnp.stack(
+            [fpx, fpy, c_lat, c_along, kidx, win[:, 4], win[:, 5], zeros]
+        )
+        return win_cols, payload
+
+    if tracks is None:
+        return jax.vmap(lambda s: prep(s, params.track))(states)
+    return jax.vmap(prep)(states, tracks)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "style", "interpret", "group")
+)
+def render_batch_pallas_v4(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+    interpret: bool = False,
+    tracks: "EnvParams | None" = None,
+    group: int = GROUP,
+) -> Array:
+    """[B, H, W] int32 seg frames - v3d with the tail/ladder batched over the
+    program's `group` envs (see _make_kernel_v4). Bit-identical to v3d."""
+    from carla_ppo_tpu.ops.rasterizer import _row_stripes
+
+    n_sky, _ = _row_stripes(cam)
+    W = cam.width
+    win_cols, payload = _prep_windows(states, params, cam, tracks)
+    B = win_cols.shape[0]
+    assert B % group == 0, (B, group)
+    plan, slab_np, pixel_slices = _stripe_layout(cam)
+    slab_all = jnp.asarray(slab_np)
+    SUMP = slab_np.shape[1]
+    Ppad_max = max(p for _, _, p in plan)
+
+    kernel = _make_kernel_v4(plan, style, group)
+    K0 = win_cols.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, SUMP), jnp.int32),
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, K0, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, 8, K0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((2, SUMP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, SUMP), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((8 * group, Ppad_max), jnp.float32)],
+        interpret=interpret,
+    )(win_cols, payload, slab_all)
+
+    blocks = [jnp.full((B, n_sky * W), int(SegClass.NONE), jnp.int32)]
+    blocks += [out[:, o:o + P] for o, P in pixel_slices]
+    return jnp.concatenate(blocks, axis=1).reshape(B, cam.height, W)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "style", "interpret"))
 def render_batch_pallas_v3d(
     states: EnvState,

@@ -155,38 +155,19 @@ def make_obs_fn(latent_obs, vae_variables, config: "PPOConfig"):
         return jax.vmap(
             lambda s, p: env.observe(s, p, config.obs_fn), in_axes=(0, None)
         )
-    from carla_ppo_tpu.models.vae_common import (
-        create_encode_batch_fn,
-        create_encode_state_fn,
-    )
+    from carla_ppo_tpu.models.vae_common import create_encode_batch_fn
 
-    if latent_obs.source == "seg":
-        # Seg obs: batch-level renderer so the fused Pallas ground kernel
-        # can take the whole batch on TPU (rasterizer render_batch /
-        # render_batch_banked; the per-env vmapped path cannot dispatch it).
-        return create_encode_batch_fn(
-            latent_obs.vae_model,
-            vae_variables,
-            measurements_to_include=latent_obs.measurements,
-            banked=config.env_kind in ("route", "lap_bank"),
-        )
-
-    encode = create_encode_state_fn(
+    # Batch-level renderer for both seg and rgb sources so the fused Pallas
+    # ground kernel can take the whole batch on TPU (rasterizer render_batch /
+    # render_batch_banked / render_rgb_batch; the per-env vmapped path cannot
+    # dispatch it).
+    return create_encode_batch_fn(
         latent_obs.vae_model,
         vae_variables,
         measurements_to_include=latent_obs.measurements,
+        banked=config.env_kind in ("route", "lap_bank"),
         source=latent_obs.source,
     )
-    if config.env_kind in ("route", "lap_bank"):
-        # Banked tracks: slice the per-env track before rendering/encoding.
-        def encode_banked(s, p):
-            per_env = p.replace(
-                track=jax.tree.map(lambda x: x[s.route_id], p.track)
-            )
-            return encode(s, per_env)
-
-        return jax.vmap(encode_banked, in_axes=(0, None))
-    return jax.vmap(encode, in_axes=(0, None))
 
 
 @struct.dataclass

@@ -17,6 +17,7 @@ from carla_ppo_tpu.ops.rasterizer_pallas import (
     GROUP,
     render_batch_pallas_v3c,
     render_batch_pallas_v3d,
+    render_batch_pallas_v4,
 )
 
 
@@ -36,6 +37,45 @@ def test_v3d_matches_reference(lap_params, batch):
     ref = np.asarray(R.render_batch(batch, lap_params))
     v = np.asarray(render_batch_pallas_v3d(batch, lap_params, interpret=True))
     assert (ref == v).mean() == 1.0
+
+
+def test_v4_matches_reference(lap_params, batch):
+    """v4 (the production kernel: tail/ladder batched over the program's
+    GROUP envs via component-major scratch) is bit-identical to the XLA
+    path, like v3d."""
+    ref = np.asarray(R.render_batch(batch, lap_params))
+    v = np.asarray(render_batch_pallas_v4(batch, lap_params, interpret=True))
+    assert (ref == v).mean() == 1.0
+
+
+def test_v4_after_driving_scattered(lap_params):
+    """v4 parity on a batch scattered around the track (each env's stripe
+    windows differ, exercising every scratch row)."""
+    import dataclasses
+
+    keys = jax.random.split(jax.random.PRNGKey(7), GROUP)
+    states = jax.vmap(lambda k: lap_env.reset(lap_params, k))(keys)
+    states = dataclasses.replace(
+        states,
+        waypoint_idx=(
+            jnp.arange(GROUP, dtype=jnp.int32) * 97
+        ) % lap_params.track.length,
+    )
+    ref = np.asarray(R.render_batch(states, lap_params))
+    v = np.asarray(render_batch_pallas_v4(states, lap_params, interpret=True))
+    assert (ref == v).mean() == 1.0
+
+
+def test_rgb_batch_matches_vmapped_render_rgb(lap_params, batch):
+    """render_rgb_batch (the --vae_source rgb rollout renderer) equals
+    vmap(render_rgb) on the CPU/XLA path (noise off)."""
+    ref = np.asarray(
+        jax.vmap(lambda s: R.render_rgb(s, lap_params))(batch)
+    )
+    got = np.asarray(R.render_rgb_batch(batch, lap_params))
+    # Same math, but render_rgb_batch is jitted: XLA fusion may re-round the
+    # shading arithmetic - tolerance instead of bit equality.
+    np.testing.assert_allclose(ref, got, atol=1e-5)
 
 
 def test_v3d_after_driving(lap_params):
