@@ -271,6 +271,7 @@ class Trainer:
 
         # Device mesh: data-parallel sharding of the env batch over chips.
         self.mesh = None
+        self._dp_evaluate = None  # built lazily on first dp eval
         n_dev = settings.num_devices
         if n_dev <= 0:
             n_dev = len(jax.devices())
@@ -401,15 +402,63 @@ class Trainer:
         # selection would overfit to it.
         self._eval_rng, eval_key = jax.random.split(self._eval_rng)
         if self.obs_mode == "pixels":
-            metrics = self._pixels.evaluate(
+            if (
+                self.mesh is not None
+                and self.settings.eval_envs % self.mesh.devices.size == 0
+            ):
+                if self._dp_evaluate is None:
+                    from carla_ppo_tpu.parallel.train_dp import (
+                        make_dp_pixel_evaluate,
+                    )
+
+                    self._dp_evaluate = make_dp_pixel_evaluate(
+                        self.mesh,
+                        self.model,
+                        self.config,
+                        self.env_params,
+                        num_envs=self.settings.eval_envs,
+                        pix=self.pix,
+                    )
+                metrics = self._dp_evaluate(
+                    self.train_state.params,
+                    eval_key,
+                    self.settings.eval_max_steps,
+                )
+            else:
+                metrics = self._pixels.evaluate(
+                    self.train_state.params,
+                    self.env_params,
+                    self.model,
+                    eval_key,
+                    num_envs=self.settings.eval_envs,
+                    max_steps=self.settings.eval_max_steps,
+                    config=self.config,
+                    pix=self.pix,
+                )
+        elif (
+            self.mesh is not None
+            and self.settings.eval_envs % self.mesh.devices.size == 0
+        ):
+            # dp eval: shard the eval envs over the mesh (VERDICT round-3
+            # item 7 - the dp story no longer stops at train_iteration).
+            # Discrete outcomes match the single-device path exactly; float
+            # metrics to last-ULP (make_dp_evaluate docstring).
+            if self._dp_evaluate is None:
+                from carla_ppo_tpu.parallel.train_dp import make_dp_evaluate
+
+                self._dp_evaluate = make_dp_evaluate(
+                    self.mesh,
+                    self.model,
+                    self.config,
+                    self.env_params,
+                    num_envs=self.settings.eval_envs,
+                    latent_obs=self.latent_obs,
+                    vae_variables=self.vae_variables,
+                )
+            metrics = self._dp_evaluate(
                 self.train_state.params,
-                self.env_params,
-                self.model,
                 eval_key,
-                num_envs=self.settings.eval_envs,
-                max_steps=self.settings.eval_max_steps,
-                config=self.config,
-                pix=self.pix,
+                self.settings.eval_max_steps,
             )
         else:
             metrics = ppo.evaluate(

@@ -555,36 +555,24 @@ def warm_start_from_vae(train_state: TrainState, vae_variables) -> TrainState:
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("model", "config", "pix", "num_envs", "chunk"),
-)
-def evaluate(
+def _evaluate_snaps(
     params: Any,
     env_params: EnvParams,
     model: PixelActorCritic,
-    rng: Array,
-    num_envs: int = 8,
-    max_steps: int = 26_000,
-    config: PPOConfig = PPOConfig(),
-    pix: PixelConfig = PixelConfig(),
-    chunk: int = 256,
-) -> Dict[str, Array]:
-    """Greedy evaluation of a pixel agent (reference: run_eval.py:30-73).
+    keys: Array,
+    track_ids: Array | None,
+    max_steps: Array,
+    config: PPOConfig,
+    pix: PixelConfig,
+    chunk: int,
+):
+    """Per-env greedy-eval core for the pixel pipeline: (snap dict, done).
 
-    Mirror of ppo.evaluate for the pixel pipeline: resets with
-    is_training=False, acts on the action mean from rendered frames, runs
-    as a while_loop of `chunk`-step scans with a DYNAMIC max_steps (no
-    per-budget recompiles), exits early once every env finished, and latches
-    the first terminal snapshot per env.
-    """
+    Mirror of ppo._evaluate_snaps (same data-parallel contract: pure per-env
+    function of reset key + replicated params)."""
     env = _ENVS[config.env_kind]
-    keys = jax.random.split(rng, num_envs)
+    num_envs = keys.shape[0]
     if config.env_kind == "lap_bank":
-        # Round-robin track assignment so one eval covers the bank
-        # (mirrors ppo.evaluate).
-        n_tracks = env_params.track.pos.shape[0]
-        track_ids = jnp.arange(num_envs, dtype=jnp.int32) % n_tracks
         states = jax.vmap(
             lambda k, t: env.reset(env_params, k, is_training=False, track_id=t)
         )(keys, track_ids)
@@ -595,7 +583,6 @@ def evaluate(
     frames0, _, meas0 = _render_and_measure(
         states, env_params, pix.cam, config.env_kind
     )
-    max_steps = jnp.asarray(max_steps, jnp.int32)
 
     def step_fn(carry, _):
         states, frames, meas, done, snap, t = carry
@@ -679,24 +666,47 @@ def evaluate(
             "reason": states.termination_reason.astype(jnp.float32),
         },
     )
-    steps = jnp.maximum(snap["steps"], 1.0)
-    dev = jnp.maximum(snap["deviation"], 1e-6)
-    return {
-        "eval/reward": snap["reward"].mean(),
-        "eval/distance_traveled": snap["distance"].mean(),
-        "eval/average_speed": (3.6 * snap["speed_accum"] / steps).mean(),
-        "eval/center_lane_deviation": snap["deviation"].mean(),
-        "eval/average_center_lane_deviation": (snap["deviation"] / steps).mean(),
-        "eval/distance_over_deviation": (snap["distance"] / dev).mean(),
-        "eval/laps_completed": snap["laps"].mean(),
-        "eval/episode_steps": snap["steps"].mean(),
-        "eval/finished": done.astype(jnp.float32).mean(),
-        "eval/overtakes": snap["overtakes"].mean(),
-        # Per-cause episode counts (mirrors ppo.evaluate; the Trainer's
-        # writer flattens to eval/termination_reasons/<id>).
-        "eval/termination_reasons": jax.nn.one_hot(
-            snap["reason"].astype(jnp.int32),
-            len(TerminationReason),
-            dtype=jnp.float32,
-        ).sum(axis=0),
-    }
+    return snap, done
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "config", "pix", "chunk"),
+)
+def _evaluate_snaps_jit(
+    params, env_params, model, keys, track_ids, max_steps, config, pix, chunk
+):
+    return _evaluate_snaps(
+        params, env_params, model, keys, track_ids, max_steps, config, pix,
+        chunk,
+    )
+
+
+def evaluate(
+    params: Any,
+    env_params: EnvParams,
+    model: PixelActorCritic,
+    rng: Array,
+    num_envs: int = 8,
+    max_steps: int = 26_000,
+    config: PPOConfig = PPOConfig(),
+    pix: PixelConfig = PixelConfig(),
+    chunk: int = 256,
+) -> Dict[str, Array]:
+    """Greedy evaluation of a pixel agent (reference: run_eval.py:30-73).
+
+    Mirror of ppo.evaluate for the pixel pipeline: resets with
+    is_training=False, acts on the action mean from rendered frames, runs
+    as a while_loop of `chunk`-step scans with a DYNAMIC max_steps (no
+    per-budget recompiles), exits early once every env finished, and latches
+    the first terminal snapshot per env. Aggregation shares
+    ppo._evaluate_metrics (identical metric names and executable)."""
+    from carla_ppo_tpu.training import ppo as ppo_mod
+
+    keys = jax.random.split(rng, num_envs)
+    track_ids, n_tracks = ppo_mod._eval_track_ids(num_envs, env_params, config)
+    snap, done = _evaluate_snaps_jit(
+        params, env_params, model, keys, track_ids,
+        jnp.asarray(max_steps, jnp.int32), config, pix, chunk,
+    )
+    return ppo_mod._evaluate_metrics(snap, done, track_ids, n_tracks)

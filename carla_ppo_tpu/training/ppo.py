@@ -653,44 +653,29 @@ def train_iteration(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("model", "config", "num_envs", "latent_obs", "chunk"),
-)
-def evaluate(
+def _evaluate_snaps(
     params: Any,
     env_params: EnvParams,
     model: ActorCritic,
-    rng: Array,
-    num_envs: int = 1,
-    max_steps: int = 3000,
-    config: PPOConfig = PPOConfig(),
-    latent_obs: Any = None,
-    vae_variables: Any = None,
-    chunk: int = 256,
-) -> Dict[str, Array]:
-    """Greedy evaluation episode(s) (reference: run_eval.py:30-73).
+    keys: Array,
+    track_ids: Array | None,
+    max_steps: Array,
+    config: PPOConfig,
+    latent_obs: Any,
+    vae_variables: Any,
+    chunk: int,
+):
+    """Per-env greedy-eval core: (snap dict of [n] arrays, done [n]).
 
-    Resets with is_training=False (spawn at route start), acts with the action
-    mean (std=0), runs until done, returns the eval metric set the reference
-    logs (train.py:124-129).
-
-    Compiled as a `while_loop` over `chunk`-step scans with `max_steps` as a
-    DYNAMIC operand: changing max_steps never recompiles (only num_envs /
-    chunk do), and the loop exits early once every env has finished - a 26k
-    step budget costs only as many chunks as the slowest env actually needs.
-
-    lap_bank envs are assigned bank tracks round-robin, so one eval covers
-    every track; `eval/laps_per_track` (an [n_tracks] array) reports each
-    track's mean laps alongside the scalar means.
+    Every env's rollout is a pure function of its own reset key + the
+    (replicated) params, so this core is trivially data-parallel: shard the
+    keys/track_ids and each device evaluates its slice (make_dp_evaluate) -
+    the per-env snaps are bit-identical to a single-device run.
     """
     env = _env_module(config)
     obs_builder = make_obs_fn(latent_obs, vae_variables, config)
-    keys = jax.random.split(rng, num_envs)
-    n_tracks = 0
+    num_envs = keys.shape[0]
     if config.env_kind == "lap_bank":
-        n_tracks = env_params.track.pos.shape[0]
-        track_ids = jnp.arange(num_envs, dtype=jnp.int32) % n_tracks
         states = jax.vmap(
             lambda k, t: env.reset(env_params, k, is_training=False, track_id=t)
         )(keys, track_ids)
@@ -699,7 +684,6 @@ def evaluate(
             lambda k: env.reset(env_params, k, is_training=False)
         )(keys)
     obs0 = obs_builder(states, env_params)
-    max_steps = jnp.asarray(max_steps, jnp.int32)
 
     def step_fn(carry, _):
         states, obs, done, snap, t = carry
@@ -786,6 +770,21 @@ def evaluate(
             "reason": states.termination_reason.astype(jnp.float32),
         },
     )
+    return snap, done
+
+
+@partial(jax.jit, static_argnames=("n_tracks",))
+def _evaluate_metrics(
+    snap: Dict[str, Array],
+    done: Array,
+    track_ids: Array | None,
+    n_tracks: int,
+) -> Dict[str, Array]:
+    """Aggregate per-env eval snaps into the reference's metric set
+    (train.py:124-129). Its OWN jit program (not fused into the rollout), so
+    the single-device and dp paths aggregate with the exact same executable -
+    that is what makes dp eval metrics bit-identical, not just close (a
+    mean fused into a sharded program reduces in a different order)."""
     steps = jnp.maximum(snap["steps"], 1.0)
     dev = jnp.maximum(snap["deviation"], 1e-6)
     metrics = {
@@ -810,11 +809,74 @@ def evaluate(
         ).sum(axis=0),
     }
     if n_tracks:
-        # Per-track mean laps (round-robin assignment above covers the bank).
+        # Per-track mean laps (round-robin assignment covers the bank).
         onehot = jax.nn.one_hot(track_ids, n_tracks, dtype=jnp.float32)
         counts = jnp.maximum(onehot.sum(axis=0), 1.0)
         metrics["eval/laps_per_track"] = (snap["laps"] @ onehot) / counts
     return metrics
+
+
+def _eval_track_ids(num_envs: int, env_params, config: PPOConfig):
+    """(track_ids or None, n_tracks): lap_bank evals cover the bank
+    round-robin."""
+    if config.env_kind == "lap_bank":
+        n_tracks = env_params.track.pos.shape[0]
+        return jnp.arange(num_envs, dtype=jnp.int32) % n_tracks, n_tracks
+    return None, 0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "config", "latent_obs", "chunk"),
+)
+def _evaluate_snaps_jit(
+    params, env_params, model, keys, track_ids, max_steps, config,
+    latent_obs, vae_variables, chunk,
+):
+    return _evaluate_snaps(
+        params, env_params, model, keys, track_ids, max_steps, config,
+        latent_obs, vae_variables, chunk,
+    )
+
+
+def evaluate(
+    params: Any,
+    env_params: EnvParams,
+    model: ActorCritic,
+    rng: Array,
+    num_envs: int = 1,
+    max_steps: int = 3000,
+    config: PPOConfig = PPOConfig(),
+    latent_obs: Any = None,
+    vae_variables: Any = None,
+    chunk: int = 256,
+) -> Dict[str, Array]:
+    """Greedy evaluation episode(s) (reference: run_eval.py:30-73).
+
+    Resets with is_training=False (spawn at route start), acts with the action
+    mean (std=0), runs until done, returns the eval metric set the reference
+    logs (train.py:124-129).
+
+    Compiled as a `while_loop` over `chunk`-step scans with `max_steps` as a
+    DYNAMIC operand: changing max_steps never recompiles (only num_envs /
+    chunk do), and the loop exits early once every env has finished - a 26k
+    step budget costs only as many chunks as the slowest env actually needs.
+
+    lap_bank envs are assigned bank tracks round-robin, so one eval covers
+    every track; `eval/laps_per_track` (an [n_tracks] array) reports each
+    track's mean laps alongside the scalar means.
+
+    Multi-device runs: see parallel.train_dp.make_dp_evaluate - same core,
+    keys sharded over the mesh, bit-identical metrics.
+    """
+    keys = jax.random.split(rng, num_envs)
+    track_ids, n_tracks = _eval_track_ids(num_envs, env_params, config)
+    snap, done = _evaluate_snaps_jit(
+        params, env_params, model, keys, track_ids,
+        jnp.asarray(max_steps, jnp.int32), config, latent_obs, vae_variables,
+        chunk,
+    )
+    return _evaluate_metrics(snap, done, track_ids, n_tracks)
 
 
 def init_env_batch(

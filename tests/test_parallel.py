@@ -59,6 +59,67 @@ def test_dp_params_replicated_and_synced(setup):
         np.testing.assert_array_equal(shards[0], s)
 
 
+def test_dp_evaluate_matches_single_device(setup):
+    """make_dp_evaluate over the 8-device mesh returns the same metrics as
+    single-device ppo.evaluate with the same rng (VERDICT round-3 item 7:
+    the dp story must not stop at train_iteration). Discrete outcomes must
+    match EXACTLY; float accumulators to last-ULP rounding (XLA vectorizes
+    the per-shard width-1 program differently from the width-8 batch - see
+    make_dp_evaluate's docstring)."""
+    env_params, model, config, ts, envs = setup
+    mesh = make_mesh(8)
+    rng = jax.random.PRNGKey(42)
+    ref = ppo.evaluate(
+        ts.params, env_params, model, rng,
+        num_envs=8, max_steps=16, config=config,
+    )
+    dp_eval = train_dp.make_dp_evaluate(
+        mesh, model, config, env_params, num_envs=8
+    )
+    got = dp_eval(ts.params, rng, 16)
+    assert set(ref.keys()) == set(got.keys())
+    exact = {
+        "eval/laps_completed", "eval/episode_steps", "eval/finished",
+        "eval/termination_reasons", "eval/overtakes",
+    }
+    for k in ref:
+        a, b = np.asarray(ref[k]), np.asarray(got[k])
+        if k in exact:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8, err_msg=k)
+
+
+def test_dp_evaluate_lap_bank_per_track(setup):
+    """dp eval on a lap_bank config keeps the round-robin track assignment
+    and the per-track laps metric."""
+    from carla_ppo_tpu.envs import lap_bank_env
+
+    bank = lap_bank_env.make_lap_bank(n_tracks=2, base_seed=0, capacity=2048)
+    env_params = lap_bank_env.lap_bank_params(bank)
+    model = ActorCritic()
+    config = ppo.PPOConfig(
+        horizon=8, num_envs=16, num_minibatches=2, env_kind="lap_bank"
+    )
+    ts = ppo.create_train_state(
+        model, config, vector_obs_dim(), jax.random.PRNGKey(0)
+    )
+    mesh = make_mesh(8)
+    rng = jax.random.PRNGKey(7)
+    ref = ppo.evaluate(
+        ts.params, env_params, model, rng,
+        num_envs=8, max_steps=16, config=config,
+    )
+    dp_eval = train_dp.make_dp_evaluate(
+        mesh, model, config, env_params, num_envs=8
+    )
+    got = dp_eval(ts.params, rng, 16)
+    np.testing.assert_array_equal(
+        np.asarray(ref["eval/laps_per_track"]),
+        np.asarray(got["eval/laps_per_track"]),
+    )
+
+
 def test_dp_gradient_sync_changes_with_global_batch(setup):
     """The dp update must differ from training on one shard alone (i.e. the
     psum really mixes devices' data)."""
