@@ -266,8 +266,22 @@ def step(
     # collision sensor fires on actual actors, CarlaEnv/wrappers.py:85-115).
     # Overlap test in road coordinates: |delta s| and |delta lateral| within
     # a car-sized box against any active NPC.
-    npc_s = state.npc_s + state.npc_speed * params.dt
-    active_npc = jnp.arange(npc_s.shape[0]) < params.num_npcs
+    #
+    # Reactive dynamics (round 4; reference analog: live CARLA autopilot
+    # traffic, wrappers.py:186-217). NPCs are NOT rails: each one
+    # (a) car-follows - brakes toward zero as its in-lane gap to the nearest
+    #     vehicle ahead (another NPC or the EGO) closes from
+    #     npc_follow_dist to npc_follow_min, so traffic jams behind a slow
+    #     ego instead of driving through it;
+    # (b) jitters its speed (sinusoidal, per-slot phase - +-npc_speed_jitter
+    #     multiplicative); and
+    # (c) wanders laterally inside its lane (bounded sinusoidal-velocity
+    #     walk, clamped to the road width at its waypoint minus a half-car
+    #     margin).
+    # Everything is a pure function of existing state (step_count drives the
+    # phases), so EnvState's pytree is unchanged and old checkpoints load.
+    M = state.npc_s.shape[0]
+    active_npc = jnp.arange(M) < params.num_npcs
     length_f = track.length.astype(jnp.float32)
     ego_s = waypoint_idx.astype(jnp.float32)
 
@@ -278,11 +292,63 @@ def step(
             gap,
         )
 
+    slot_f = jnp.arange(M, dtype=jnp.float32)
+    t_step = state.step_count.astype(jnp.float32)
+    if params.npc_reactive:
+        # (a) car-following over [M, M+1] gaps (all NPCs + the ego).
+        others_s = jnp.concatenate([state.npc_s, ego_s[None]])
+        others_lat = jnp.concatenate([state.npc_lateral, ego_lat[None]])
+        others_active = jnp.concatenate(
+            [active_npc, jnp.ones((1,), bool)]
+        )
+        gaps = wrap_gap(others_s[None, :] - state.npc_s[:, None])  # [M, M+1]
+        in_lane = (
+            jnp.abs(others_lat[None, :] - state.npc_lateral[:, None])
+            < params.npc_follow_lat
+        )
+        ahead = (gaps > 0.1) & in_lane & others_active[None, :]
+        gap_ahead = jnp.min(
+            jnp.where(ahead, gaps, jnp.inf), axis=1
+        )  # [M]
+        follow = jnp.clip(
+            (gap_ahead - params.npc_follow_min)
+            / jnp.maximum(
+                params.npc_follow_dist - params.npc_follow_min, 1e-3
+            ),
+            0.0,
+            1.0,
+        )
+        # (b) speed jitter: per-slot phase via the golden angle.
+        jitter = 1.0 + params.npc_speed_jitter * jnp.sin(
+            0.23 * t_step + 2.39996 * slot_f
+        )
+        npc_speed_eff = state.npc_speed * jitter * follow
+        # (c) lateral wander, clamped to the road at the NPC's waypoint.
+        npc_wp = jnp.where(
+            track.is_loop,
+            jnp.mod(state.npc_s, length_f),
+            jnp.clip(state.npc_s, 0.0, length_f - 1.0),
+        ).astype(jnp.int32)
+        npc_lw = wp_gather(track.left_width, npc_wp, track.length, track.is_loop)
+        npc_rw = wp_gather(track.right_width, npc_wp, track.length, track.is_loop)
+        wander = params.npc_wander_rate * jnp.sin(
+            0.11 * t_step + 2.39996 * slot_f + 1.0
+        )
+        npc_lateral = jnp.clip(
+            state.npc_lateral + wander * params.dt,
+            -(npc_rw - 0.8),
+            npc_lw - 0.8,
+        )
+    else:
+        npc_speed_eff = state.npc_speed
+        npc_lateral = state.npc_lateral
+    npc_s = state.npc_s + npc_speed_eff * params.dt
+
     ds = wrap_gap(npc_s - ego_s)
     npc_hit = jnp.any(
         active_npc
         & (jnp.abs(ds) < params.npc_collision_s)
-        & (jnp.abs(state.npc_lateral - ego_lat) < params.npc_collision_lat)
+        & (jnp.abs(npc_lateral - ego_lat) < params.npc_collision_lat)
     )
     collision = collision | npc_hit
 
@@ -338,6 +404,7 @@ def step(
         collision=collision,
         lane_invasion=lane_invasion,
         npc_s=npc_s,
+        npc_lateral=npc_lateral,
         npc_just_passed=npc_just_passed,
         npc_overtakes=state.npc_overtakes + npc_just_passed,
     )

@@ -194,6 +194,76 @@ def test_npc_overtake_event_detection(lap_params):
     assert float(s2.npc_overtakes) == 0.0
 
 
+def test_npc_car_following_brakes_behind_ego(lap_params):
+    """Reactive NPCs are not rails: an NPC closing on a slow ego in its lane
+    brakes (car-following) instead of driving through it - the gap
+    stabilizes near npc_follow_min and no collision fires from behind."""
+    import jax
+
+    p = lap_params.replace(num_npcs=jnp.int32(1))
+    s = lap_env.reset(p, jax.random.PRNGKey(0))
+    ego_s0 = float(s.waypoint_idx)
+    s = s.replace(
+        vehicle=s.vehicle.replace(vx=jnp.float32(0.5)),
+        npc_s=s.npc_s.at[0].set(jnp.float32(ego_s0 - 20.0)),
+        npc_speed=s.npc_speed.at[0].set(jnp.float32(8.0)),
+        npc_lateral=s.npc_lateral.at[0].set(jnp.float32(0.0)),  # ego's lane
+    )
+    action = jnp.asarray([0.0, 0.0], jnp.float32)
+    gaps = []
+    for _ in range(120):
+        s, out = lap_env.step(s, action, p)
+        gaps.append(float(s.npc_s[0]) - float(s.waypoint_idx))
+        assert not bool(out.done), "NPC rear-ended the stopped ego"
+    # The NPC closed most of the 20 m but held off near npc_follow_min
+    # (6 m), outside the collision box (npc_collision_s = 4 m).
+    assert -11.0 < gaps[-1] < -float(p.npc_collision_s)
+    # Steady state: gap change over the last 30 steps is small (it stopped).
+    assert abs(gaps[-1] - gaps[-30]) < 1.5
+
+
+def test_npc_rails_mode_reproduces_round3_behavior(lap_params):
+    """npc_reactive=False restores the rail NPCs exactly: constant speed,
+    frozen lateral."""
+    import jax
+
+    p = lap_params.replace(num_npcs=jnp.int32(2), npc_reactive=False)
+    s = lap_env.reset(p, jax.random.PRNGKey(0))
+    lat0 = np.asarray(s.npc_lateral)
+    s0 = np.asarray(s.npc_s)
+    v0 = np.asarray(s.npc_speed)
+    action = jnp.asarray([0.0, 0.5], jnp.float32)
+    for i in range(20):
+        s, _ = lap_env.step(s, action, p)
+    np.testing.assert_array_equal(np.asarray(s.npc_lateral), lat0)
+    np.testing.assert_allclose(
+        np.asarray(s.npc_s), s0 + 20 * float(p.dt) * v0, rtol=1e-5
+    )
+
+
+def test_npc_wander_stays_on_road(lap_params):
+    """Reactive lateral wander is clamped inside the road (half-car margin
+    from each edge) at the NPC's own waypoint."""
+    import jax
+
+    p = lap_params.replace(num_npcs=jnp.int32(4))
+    s = lap_env.reset(p, jax.random.PRNGKey(3))
+    action = jnp.asarray([0.0, 0.3], jnp.float32)
+    moved = False
+    lat_prev = np.asarray(s.npc_lateral).copy()
+    for _ in range(90):
+        s, _ = lap_env.step(s, action, p)
+        lat = np.asarray(s.npc_lateral)[:4]
+        wp = np.asarray(s.npc_s)[:4].astype(int) % int(p.track.length)
+        lw = np.asarray(p.track.left_width)[wp]
+        rw = np.asarray(p.track.right_width)[wp]
+        assert (lat <= lw - 0.79).all() and (lat >= -(rw - 0.79)).all()
+        if not np.array_equal(lat, lat_prev[:4]):
+            moved = True
+        lat_prev = np.asarray(s.npc_lateral).copy()
+    assert moved, "reactive NPCs should wander laterally"
+
+
 def test_npc_lapping_ego_is_not_an_overtake(lap_params):
     """A FASTER NPC whose lead wraps past +L/2 on the loop flips its gap
     sign exactly like a pass (+L/2 -> -L/2) but must NOT count (round-4
