@@ -159,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--entropy_schedule", type=schedule_flag, default=(),
                         help="Piecewise-constant entropy scale by iteration, "
                              "e.g. '0:0.003,800:0.002'")
+    parser.add_argument("--heldout_eval", type=int, default=1,
+                        help="route/lap_bank: every Nth eval also evaluates "
+                             "on never-trained worlds (eval_heldout/* = "
+                             "fresh routes in the same town / unseen track "
+                             "seeds; eval_unseen_town/* = a different town; "
+                             "0 disables)")
 
     # Observation pipeline (reference: constructor injection, train.py:69-76).
     parser.add_argument("--obs", type=str, default=None,
@@ -294,6 +300,7 @@ def main(argv=None) -> None:
         best_key=params["best_key"],
         stall_timeout_s=params["stall_timeout"],
         junction_spawn_prob=params["junction_spawn_prob"],
+        heldout_eval=params["heldout_eval"],
         eval_envs=params["eval_envs"],
         num_iterations=params["num_episodes"],
         eval_interval=params["eval_interval"],

@@ -136,6 +136,20 @@ class TrainerSettings:
     # Route env: probability a training reset spawns just before a junction
     # (EnvParams.junction_spawn_prob; failure-driven junction curriculum).
     junction_spawn_prob: float = 0.0
+    # Generalization eval (route / lap_bank configs; round-4 VERDICT item 5:
+    # nothing measured whether the route agent memorized its bank). Every
+    # heldout_eval-th eval additionally evaluates on NEVER-TRAINED worlds:
+    #   eval_heldout/*      route: a fresh route bank (disjoint route seed)
+    #                       in the SAME town; lap_bank: a bank of unseen
+    #                       track seeds.
+    #   eval_unseen_town/*  route only: a route bank from a DIFFERENT town.
+    # 0 disables. The reference's analog is its per-reset fresh A* routes
+    # (carla_route_env.py:213-240) - it never trains on a fixed pool, so
+    # generalization is implicit there and must be measured here.
+    heldout_eval: int = 1
+    # Seed offset for the held-out worlds (any value whose banks are
+    # disjoint from track_seed's).
+    heldout_seed_offset: int = 4097
 
 
 class Trainer:
@@ -170,6 +184,8 @@ class Trainer:
             render_npc_billboards=settings.num_npcs > 0,
             junction_spawn_prob=jnp.float32(settings.junction_spawn_prob),
         )
+        self._heldout_params: Dict[str, EnvParams] = {}
+        off = settings.heldout_seed_offset
         if env_params is not None:
             self.env_params = env_params
         elif config.env_kind == "route":
@@ -178,6 +194,24 @@ class Trainer:
                 town, seed=settings.track_seed, props=settings.rich_scene
             )
             self.env_params = route_env.route_env_params(bank, **env_common)
+            if settings.heldout_eval > 0:
+                # Same town, never-trained routes (disjoint route seed)...
+                ho = route_planner.make_route_bank(
+                    town, seed=settings.track_seed + off,
+                    props=settings.rich_scene,
+                )
+                self._heldout_params["eval_heldout"] = (
+                    route_env.route_env_params(ho, **env_common)
+                )
+                # ...and a different town entirely.
+                town2 = route_planner.make_town(seed=settings.track_seed + off)
+                ho2 = route_planner.make_route_bank(
+                    town2, seed=settings.track_seed + off,
+                    props=settings.rich_scene,
+                )
+                self._heldout_params["eval_unseen_town"] = (
+                    route_env.route_env_params(ho2, **env_common)
+                )
         elif config.env_kind == "lap_bank":
             from carla_ppo_tpu.envs import lap_bank_env
 
@@ -187,6 +221,15 @@ class Trainer:
                 props=settings.rich_scene,
             )
             self.env_params = lap_bank_env.lap_bank_params(bank, **env_common)
+            if settings.heldout_eval > 0:
+                ho = lap_bank_env.make_lap_bank(
+                    n_tracks=settings.num_tracks,
+                    base_seed=settings.track_seed + off,
+                    props=settings.rich_scene,
+                )
+                self._heldout_params["eval_heldout"] = (
+                    lap_bank_env.lap_bank_params(ho, **env_common)
+                )
         else:
             self.env_params = EnvParams(
                 track=track_mod.make_lap_track(
@@ -385,6 +428,7 @@ class Trainer:
         self._solve_streak = 0
         self._frozen = False
         self._eval_rng = jax.random.PRNGKey(settings.seed + 1)
+        self._eval_count = 0
         self._nan_events = 0
         self._watchdog = None
         if settings.stall_timeout_s > 0:
@@ -472,6 +516,36 @@ class Trainer:
                 latent_obs=self.latent_obs,
                 vae_variables=self.vae_variables,
             )
+        # Generalization evals on never-trained worlds (route/lap_bank; see
+        # TrainerSettings.heldout_eval). Single-device on purpose: the
+        # held-out banks are operands to the already-compiled evaluate
+        # program, and eval_envs is small.
+        self._eval_count += 1
+        if (
+            self._heldout_params
+            and self.settings.heldout_eval > 0
+            and self._eval_count % self.settings.heldout_eval == 0
+        ):
+            for prefix, hp in self._heldout_params.items():
+                if self.obs_mode == "pixels":
+                    hm = self._pixels.evaluate(
+                        self.train_state.params, hp, self.model, eval_key,
+                        num_envs=self.settings.eval_envs,
+                        max_steps=self.settings.eval_max_steps,
+                        config=self.config, pix=self.pix,
+                    )
+                else:
+                    hm = ppo.evaluate(
+                        self.train_state.params, hp, self.model, eval_key,
+                        num_envs=self.settings.eval_envs,
+                        max_steps=self.settings.eval_max_steps,
+                        config=self.config, latent_obs=self.latent_obs,
+                        vae_variables=self.vae_variables,
+                    )
+                metrics.update(
+                    {k.replace("eval/", prefix + "/"): v for k, v in hm.items()}
+                )
+
         # Expand array-valued metrics (e.g. eval/laps_per_track for lap_bank)
         # into one scalar per element so the writer sees flat scalars.
         flat: Dict[str, float] = {}
