@@ -94,7 +94,16 @@ def main():
                 "advantages": adv.reshape(n),
             }
 
-        t_gae = timeit(gae_prep, traj, bootstrap, iters=args.iters)
+        # Timed variant reduces to a scalar on-device (round-3 advisor
+        # finding: gae_prep's smallest leaf is [B*T] and perms returns a
+        # [epochs, B*T] int32 - fetching either over the remote-RPC hop
+        # biases sub-ms legs; same methodology as profile_render/sweep).
+        @jax.jit
+        def gae_prep_scalar(traj, bootstrap):
+            d = gae_prep(traj, bootstrap)
+            return d["returns"].sum() + d["advantages"].sum()
+
+        t_gae = timeit(gae_prep_scalar, traj, bootstrap, iters=args.iters)
         data = gae_prep(traj, bootstrap)
 
         # --- permutations alone ---
@@ -103,7 +112,11 @@ def main():
             ks = jax.random.split(key, config.num_epochs)
             return jax.vmap(lambda k: jax.random.permutation(k, n))(ks)
 
-        t_perm = timeit(perms, rng, iters=args.iters)
+        @jax.jit
+        def perms_scalar(key):
+            return perms(key).sum(dtype=jnp.int32)
+
+        t_perm = timeit(perms_scalar, rng, iters=args.iters)
 
         # --- one epoch of minibatch gathers alone ---
         perm = jax.random.permutation(rng, n).reshape(config.num_minibatches, -1)

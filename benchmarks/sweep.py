@@ -33,7 +33,7 @@ def main():
     parser.add_argument("--batches", type=str, default=None,
                         help="comma list of env-batch sizes (overrides --quick)")
     parser.add_argument("--only", type=str, default=None,
-                        choices=["env", "vector", "render", "latent"],
+                        choices=["env", "vector", "render", "latent", "dp"],
                         help="run a single pipeline leg")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16", "mixed"],
@@ -75,7 +75,8 @@ def main():
         results.append(rec)
         print(json.dumps(rec), flush=True)
 
-    for B in batches:
+    in_loop_legs = args.only in (None, "env", "vector", "render")
+    for B in batches if in_loop_legs else []:
         rng = jax.random.PRNGKey(0)
         envs = ppo.init_env_batch(env_params, B, rng)
 
@@ -125,30 +126,34 @@ def main():
             dt = timeit(render, envs)
             report("seg_render", B, B, dt, unit="frames/sec")
 
-    # 4. latent-obs training at the default batch.
-    if args.only not in (None, "latent"):
-        return
-    B, T = 1024 if not args.quick else 256, 128
-    from carla_ppo_tpu.models import vae_common
+    # Legs 4/5 honor --batches (last value) instead of silently pinning 1024
+    # (round-3 advisor finding).
+    tail_B = batches[-1] if args.batches else (256 if args.quick else 1024)
 
-    vae = vae_common.build_vae(64, "cnn", 1, source_shape=(80, 160, 1))
-    vae_vars = vae.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 80, 160, 1)), jax.random.PRNGKey(1), True
-    )
-    latent = ppo.LatentObs(vae_model=vae, source="seg")
-    config = ppo.PPOConfig(num_envs=B, horizon=T)
-    rng = jax.random.PRNGKey(0)
-    ts = ppo.create_train_state(model, config, latent.obs_dim, rng)
-    envs = ppo.init_env_batch(env_params, B, rng)
+    # 4. latent-obs training.
+    if args.only in (None, "latent"):
+        B, T = tail_B, 128
+        from carla_ppo_tpu.models import vae_common
 
-    def train_latent(ts, envs):
-        return ppo.train_iteration(
-            ts, envs, env_params, model, config,
-            latent_obs=latent, vae_variables=vae_vars,
+        vae = vae_common.build_vae(64, "cnn", 1, source_shape=(80, 160, 1))
+        vae_vars = vae.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 80, 160, 1)),
+            jax.random.PRNGKey(1), True,
         )
+        latent = ppo.LatentObs(vae_model=vae, source="seg")
+        config = ppo.PPOConfig(num_envs=B, horizon=T)
+        rng = jax.random.PRNGKey(0)
+        ts = ppo.create_train_state(model, config, latent.obs_dim, rng)
+        envs = ppo.init_env_batch(env_params, B, rng)
 
-    dt = timeit(train_latent, ts, envs, iters=3)
-    report("ppo_train_latent_frozen_vae", B, B * T, dt)
+        def train_latent(ts, envs):
+            return ppo.train_iteration(
+                ts, envs, env_params, model, config,
+                latent_obs=latent, vae_variables=vae_vars,
+            )
+
+        dt = timeit(train_latent, ts, envs, iters=3)
+        report("ppo_train_latent_frozen_vae", B, B * T, dt)
 
     # 5. shard_map dp machinery overhead on a 1-device mesh: the same
     # iteration routed through parallel/train_dp (shard_map + psum + the
@@ -157,11 +162,12 @@ def main():
     # n * per-chip-throughput * (1 - overhead) - the gradient all-reduce
     # itself moves ~1.6 MB of params over ICI per minibatch, <1 ms/iter
     # at v5e ICI bandwidth.
-    if len(jax.devices()) >= 1:
+    if args.only in (None, "dp"):
         from carla_ppo_tpu.parallel import train_dp
         from carla_ppo_tpu.parallel.mesh import make_mesh
 
-        B, T = 1024 if not args.quick else 256, 128
+        B, T = tail_B, 128
+        rng = jax.random.PRNGKey(0)
         config = ppo.PPOConfig(num_envs=B, horizon=T)
         mesh = make_mesh(1)
         ts = ppo.create_train_state(model, config, vector_obs_dim(), rng)

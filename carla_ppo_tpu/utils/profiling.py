@@ -42,7 +42,16 @@ def timeit_device(fn, *args, iters: int = 10) -> float:
     synchronized ONCE at the end via `sync_fetch` (the bench.py
     methodology). The first call - compile + warmup - is excluded. Do NOT
     time with `jax.block_until_ready` on the axon platform: it does not
-    block (see `sync_fetch`)."""
+    block (see `sync_fetch`).
+
+    Requirement: `fn` must be a SINGLE jitted program (one dispatch per
+    call) whose outputs all come from that program - sync_fetch fences via
+    one leaf of the last enqueued program, which only fences *earlier*
+    dispatches of the chain because the per-chip execution queue is serial.
+    A fn that issues several programs internally and returns a leaf of an
+    earlier one would let the final program escape the fence; a fn
+    returning no array leaves syncs nothing. Every benchmarks/ call site
+    passes one jitted fn that reduces to a small (ideally scalar) output."""
     out = fn(*args)
     sync_fetch(out)
     t0 = time.perf_counter()
