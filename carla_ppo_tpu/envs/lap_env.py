@@ -355,7 +355,7 @@ def step(
     # Overtake events: an NPC's gap sign-flips ahead -> behind this step.
     # Two far-boundary wrap artifacts must NOT count: an NPC lapping a
     # slower ego flips +L/2 -> -L/2 (ds_old > 0 and ds <= 0, exactly the
-    # pass signature, but with a ~L jump - round-4 review finding: it paid
+    # pass signature, but with a ~L jump - round-3 late review finding: it paid
     # a phantom pass_bonus once per NPC per relative lap), and the ego
     # lapping an NPC flips -L/2 -> +L/2 (ds_old < 0, never matches). A true
     # pass moves the gap by at most a few meters per tick, so requiring a

@@ -107,7 +107,7 @@ OVERTAKE_WINDOW = 15.0
 # directly behind (|dlat| below this) is following, not passing, and earns
 # centering normally. (An unconditional near-NPC waiver was tried first and
 # reward-farmed: agents tailgated at NPC pace collecting the free centering
-# term for ~4000-step episodes - traffic_npc_r4, round 4.)
+# term for ~4000-step episodes - traffic_npc_r4, round 3 late session.)
 PASS_LATERAL_MIN = 1.2
 # Proximity shaping: penalty ramps from 0 at PROXIMITY_RANGE meters of
 # box-clearance to PROXIMITY_SCALE at contact with the collision box.

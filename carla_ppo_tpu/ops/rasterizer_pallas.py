@@ -2,10 +2,12 @@
 
 The ground rasterization (raycast -> nearest-centerline Frenet search ->
 13-class classification) runs as ONE Mosaic program per GROUP of envs
-(render_batch_pallas_v3d), dispatched by rasterizer.render_batch on TPU.
-Measured on a v5e at B=1024 rich-scene envs: 4.85 ms vs 7.34 ms for the XLA
-ground pass - ~1.5x - with BIT-IDENTICAL output (including asymmetric
-dual-lane widths; the billboard/NPC composite stays in XLA either way).
+(render_batch_pallas_v4, dispatched by rasterizer.render_batch on TPU).
+Measured on a v5e at B=1024 rich-scene envs: 4.89 ms (v4) vs 5.43 ms (v3d)
+vs 7.34 ms for the XLA ground pass - with BIT-IDENTICAL output (including
+asymmetric dual-lane widths; the billboard/NPC composite stays in XLA
+either way - folding it in-kernel was costed at ~10 VPU ops per
+candidate-pixel vs the factorized XLA contraction's 2, a regression).
 
 How the round-1/2 layout trap was broken (kept here as the design record -
 the v1/v2 kernels that lost to XLA by 6-12x are deleted; see git history):
@@ -32,10 +34,13 @@ Optimization ladder (1024 rich-scene ground passes, v5e):
   v2 (column pixels, MXU cross term)  78  ms   (deleted)
   XLA reference (row stripes)        7.3  ms   (the fallback path)
   v3c (static rays, fused classify)  8.2  ms   (retained: any B)
-  v3d (+ GROUP batching, 1 dispatch) 4.85 ms   (production)
+  v3d (+ GROUP batching, 1 dispatch) 4.85 ms   (retained: v4 parity ref)
   v3e (MXU score matmul)             tied/slower (deleted; note below)
+  v4  (+ tail/ladder batched [G, P]) 4.89 ms*  (production; *4.89 vs
+      v3d's 5.43 in the same round-4 session - ~10% - the 4.85 above was
+      a different, quieter session)
 
-Negative result, for the record (round 4): reformulating the [K, P]
+Negative result, for the record (round 3, late session): reformulating the [K, P]
 distance block as an affine score |w|^2 - 2wx*a - 2wy*b - a [K, 8] x
 [8, P] MXU matmul replacing the 5 VPU passes, with d2 recovered from a
 static a^2+b^2 slab row - was bit-identical in interpret mode but did NOT

@@ -18,7 +18,7 @@ machine" warning EVEN FOR SAME-HOST ENTRIES - XLA:CPU compiles with
 model-derived tuning preferences (prefer-no-scatter/gather) that its
 loader's host-feature check doesn't recognize as satisfiable (verified by
 compiling and reloading in back-to-back processes on one machine: the
-second process warns, round 4). Real foreign-ISA loads list genuinely
+second process warns, round 3 late session). Real foreign-ISA loads list genuinely
 missing ISA features (avx512*, amx*); those are what the fingerprint
 partitioning prevents.
 """
