@@ -149,6 +149,16 @@ def _row_stripes(cam: CameraConfig, margin: float = 12.0):
     ahead-span (K - window_behind) covers the row's ground depth plus a
     margin (camera mount offset + curvature slack). Bottom rows get K=32,
     mid rows K=64, horizon rows the full window.
+
+    Stripe breaks only land on rows divisible by 4: 4 rows x W=160 px =
+    640 = 5x128 lanes, so every stripe's FLAT pixel offset (row_lo * W) is
+    128-lane aligned - the property that lets the Pallas v5 kernel emit
+    frames in natural [H*W] order with aligned vector stores and the XLA
+    billboard composite run without a stripe->image relayout. Delaying a
+    break keeps the LARGER window for the rows in between (t decreases
+    monotonically with row), so those rows only gain candidates - their
+    output moves toward (never away from) the unstriped full-window
+    render.
     """
     _, sky, t = _row_geometry(cam)
     n_sky = int(sky.sum())  # contiguous prefix: vert decreases with row
@@ -164,7 +174,7 @@ def _row_stripes(cam: CameraConfig, margin: float = 12.0):
         )
         if cur_k is None:
             cur_k = k
-        elif k != cur_k:
+        elif k != cur_k and row % 4 == 0:
             stripes.append((lo, row, cur_k))
             lo, cur_k = row, k
     if cur_k is not None:
@@ -476,22 +486,29 @@ def _visible_props(
     return b_pos, b_cls, b_hgt, b_hwd
 
 
-def billboard_pass(
-    cls: Array,
-    depth: Array,
-    sky: Array,
-    state: EnvState,
-    params: EnvParams,
-    cam: CameraConfig,
-) -> Tuple[Array, Array, Array]:
-    """Composite prop/vehicle billboards over the ground image, depth-tested.
+def _billboard_tables(
+    state: EnvState, params: EnvParams, cam: CameraConfig
+) -> Tuple[Array, Array]:
+    """Packed per-candidate column/row coverage tables (U [N, W], V [N, H]).
 
-    Each candidate is a vertical camera-facing rectangle anchored on the
-    ground: project its center column + extent to screen space, test every
-    pixel against every candidate ([P, N] broadcast - N is small), take the
-    nearest passing candidate per pixel, and overwrite ground pixels whose
-    ground intersection lies *behind* the billboard (sky pixels have infinite
-    ground depth, so buildings correctly rise above the horizon).
+    The billboard inside test FACTORIZES: the u-test depends only on the
+    pixel column, the v-test only on the row. These two tiny packed tables
+    let the composite contract them instead of evaluating the full predicate
+    per candidate-pixel:
+      U[n, c] = key_n  if candidate n is valid and covers column c
+                INT32_MAX otherwise
+      V[n, r] = INT32_MIN if candidate n covers row r, INT32_MAX otherwise
+      best[r, c] = min_n max(U[n, c], V[n, r])
+    max() recovers the conjunction (key_n iff both tests pass), so the
+    per-candidate-pixel cost drops from the ~12 VPU ops of the flat
+    [N, P] predicate (sub/abs/3 cmps/3 ands/select/pack) to max+min.
+    key_n stashes the class id in the low 4 mantissa bits of the depth
+    (positive-f32 bit patterns order like the floats, so an int32 min is
+    a depth min; the 4-bit steal perturbs depth by < 2^-19 relative),
+    giving nearest-candidate AND its class in the one reduction.
+    Bit-identical to the flat form: U/V evaluate the same float
+    comparisons on the same values, and a no-candidate pixel resolves to
+    a key whose depth bits are >= +inf either way (visible stays False).
     """
     import math
 
@@ -516,24 +533,6 @@ def billboard_pass(
     v_bot = H / 2.0 - focal * ((0.0 - cam.mount_height) / f_safe - tanp)
     v_top = H / 2.0 - focal * ((b_hgt - cam.mount_height) / f_safe - tanp)
 
-    # The inside test FACTORIZES: the u-test depends only on the pixel
-    # column, the v-test only on the row. Precompute two tiny packed tables
-    # and contract them instead of evaluating the full predicate per
-    # candidate-pixel:
-    #   U[n, c] = key_n  if candidate n is valid and covers column c
-    #             INT32_MAX otherwise
-    #   V[n, r] = INT32_MIN if candidate n covers row r, INT32_MAX otherwise
-    #   best[r, c] = min_n max(U[n, c], V[n, r])
-    # max() recovers the conjunction (key_n iff both tests pass), so the
-    # per-candidate-pixel cost drops from the ~12 VPU ops of the flat
-    # [N, P] predicate (sub/abs/3 cmps/3 ands/select/pack) to max+min.
-    # key_n stashes the class id in the low 4 mantissa bits of the depth
-    # (positive-f32 bit patterns order like the floats, so an int32 min is
-    # a depth min; the 4-bit steal perturbs depth by < 2^-19 relative),
-    # giving nearest-candidate AND its class in the one reduction.
-    # Bit-identical to the flat form: U/V evaluate the same float
-    # comparisons on the same values, and a no-candidate pixel resolves to
-    # a key whose depth bits are >= +inf either way (visible stays False).
     u = jnp.arange(W, dtype=jnp.float32) + 0.5  # [W]
     v = jnp.arange(H, dtype=jnp.float32) + 0.5  # [H]
     key_n = jnp.bitwise_or(
@@ -552,6 +551,29 @@ def billboard_pass(
         jnp.int32(-(2**31)),
         imax,
     )  # [N, H]
+    return U, V
+
+
+def billboard_pass(
+    cls: Array,
+    depth: Array,
+    sky: Array,
+    state: EnvState,
+    params: EnvParams,
+    cam: CameraConfig,
+) -> Tuple[Array, Array, Array]:
+    """Composite prop/vehicle billboards over the ground image, depth-tested.
+
+    Each candidate is a vertical camera-facing rectangle anchored on the
+    ground: project its center column + extent to screen space, test every
+    pixel against every candidate via the factorized U/V coverage tables
+    (see _billboard_tables), take the nearest passing candidate per pixel,
+    and overwrite ground pixels whose ground intersection lies *behind* the
+    billboard (sky pixels have infinite ground depth, so buildings correctly
+    rise above the horizon).
+    """
+    H, W = cam.height, cam.width
+    U, V = _billboard_tables(state, params, cam)
     best = jnp.min(
         jnp.maximum(U[:, None, :], V[:, :, None]), axis=0
     ).reshape(-1)  # [P]
@@ -716,7 +738,32 @@ def render_rgb_batch(
     vmapped fallback splits it per env, so noise - and only noise - differs
     between the two paths)."""
     if _pallas_ground_eligible(states, params):
-        from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v4
+        from carla_ppo_tpu.ops.rasterizer_pallas import (
+            _stripe_layout_v5,
+            render_batch_pallas_v4,
+            render_batch_pallas_v5,
+        )
+
+        B = states.waypoint_idx.shape[0]
+        H, W = cam.height, cam.width
+        if _stripe_layout_v5(cam) is not None:
+            flat_ground = render_batch_pallas_v5(states, params, cam, style)
+            if cam.render_props:
+                cls, depth, sky = _composite_billboards_flat(
+                    flat_ground, states, params, cam, return_depth_sky=True
+                )
+            else:
+                depth0, sky0 = _static_depth_sky(cam)
+                cls = flat_ground
+                depth = jnp.broadcast_to(depth0.reshape(-1), (B, H * W))
+                sky = jnp.broadcast_to(sky0.reshape(-1), (B, H * W))
+            return _shade_rgb(
+                cls.reshape(B, H, W),
+                depth.reshape(B, H, W),
+                sky.reshape(B, H, W),
+                cam,
+                key,
+            )
 
         ground = render_batch_pallas_v4(states, params, cam, style)
         depth0, sky0 = _static_depth_sky(cam)
@@ -735,6 +782,57 @@ def render_rgb_batch(
     return jax.vmap(
         lambda s, k: render_rgb(s, params, cam, style, key=k)
     )(states, keys)
+
+
+def _composite_billboards_flat(
+    flat_cls: Array,
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig,
+    tracks=None,
+    return_depth_sky: bool = False,
+):
+    """Billboard composite over FLAT [B, H*W] ground frames (natural pixel
+    order, the Pallas v5 kernel's output layout). With return_depth_sky,
+    returns (cls, depth, sky) flat triples for RGB shading.
+
+    Lane-perfect analog of vmap(billboard_pass): H*W = 12800 = 100 x 128
+    lanes, so the U/V min-max contraction (inputs realized as reshapes of
+    broadcasts - index math inside the reduce fusion, nothing [B, N, H*W]-
+    shaped is materialized) and the depth/where composite run at full lane
+    utilization instead of the [H, W=160] layout's 62.5%. Bit-identical to
+    billboard_pass: same packed tables, same max/min/compare arithmetic,
+    only the iteration space is reshaped. Ground depth is static per row
+    (rigid camera), so the depth test needs nothing from the ground pass.
+    """
+    H, W = cam.height, cam.width
+    B = flat_cls.shape[0]
+    if tracks is None:
+        U, V = jax.vmap(lambda s: _billboard_tables(s, params, cam))(states)
+    else:
+        U, V = jax.vmap(
+            lambda s, t: _billboard_tables(s, params.replace(track=t), cam)
+        )(states, tracks)
+    N = U.shape[1]
+    u_flat = jnp.broadcast_to(U[:, :, None, :], (B, N, H, W)).reshape(B, N, H * W)
+    v_flat = jnp.broadcast_to(V[:, :, :, None], (B, N, H, W)).reshape(B, N, H * W)
+    best = jnp.min(jnp.maximum(u_flat, v_flat), axis=1)  # [B, H*W]
+    vert, sky_rows, t_rows = _row_geometry(cam)
+    depth_row = jnp.asarray(t_rows, jnp.float32)  # [H], inf on sky rows
+    depth_flat = jnp.broadcast_to(depth_row[:, None], (H, W)).reshape(H * W)
+    best_d = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(best, ~15), jnp.float32
+    )
+    visible = best_d < depth_flat[None, :]
+    cls = jnp.where(visible, jnp.bitwise_and(best, 15), flat_cls)
+    if not return_depth_sky:
+        return cls
+    sky_flat = jnp.broadcast_to(
+        jnp.asarray(sky_rows)[:, None], (H, W)
+    ).reshape(H * W)
+    depth = jnp.where(visible, best_d, depth_flat[None, :])
+    sky = jnp.logical_and(sky_flat[None, :], ~visible)
+    return cls, depth, sky
 
 
 def _static_depth_sky(cam: CameraConfig):
@@ -773,20 +871,52 @@ def _render_batch_pallas_composed(
     cam: CameraConfig,
     style: RoadStyle,
     interpret: bool = False,
+    tracks=None,
 ) -> Tuple[Array, Array]:
-    """Pallas v4 ground pass + (optional) XLA billboard composite.
+    """Pallas ground pass + (optional) XLA billboard composite.
 
     Returns (rich, ground): the pre-composite ground pass is the de-prop
-    target, so both batch entry points share this one dispatch site."""
-    from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v4
+    target, so both batch entry points share this one dispatch site.
 
-    ground = render_batch_pallas_v4(states, params, cam, style, interpret)
+    Aligned camera geometries take the v5 flat path (natural-order kernel
+    output + lane-perfect flat composite, zero relayouts); others fall back
+    to v4's stripe packing + per-env billboard_pass. Both are bit-identical
+    in class values."""
+    from carla_ppo_tpu.ops.rasterizer_pallas import (
+        _stripe_layout_v5,
+        render_batch_pallas_v4,
+        render_batch_pallas_v5,
+    )
+
+    B = states.waypoint_idx.shape[0]
+    H, W = cam.height, cam.width
+    if _stripe_layout_v5(cam) is not None:
+        flat_ground = render_batch_pallas_v5(
+            states, params, cam, style, interpret, tracks=tracks
+        )
+        flat = flat_ground
+        if cam.render_props:
+            flat = _composite_billboards_flat(
+                flat_ground, states, params, cam, tracks=tracks
+            )
+        return flat.reshape(B, H, W), flat_ground.reshape(B, H, W)
+
+    ground = render_batch_pallas_v4(
+        states, params, cam, style, interpret, tracks=tracks
+    )
     cls = ground
     if cam.render_props:
         depth, sky = _static_depth_sky(cam)
-        cls = jax.vmap(
-            lambda c, s: billboard_pass(c, depth, sky, s, params, cam)[0]
-        )(ground, states)
+        if tracks is None:
+            cls = jax.vmap(
+                lambda c, s: billboard_pass(c, depth, sky, s, params, cam)[0]
+            )(ground, states)
+        else:
+            cls = jax.vmap(
+                lambda c, s, t: billboard_pass(
+                    c, depth, sky, s, params.replace(track=t), cam
+                )[0]
+            )(ground, states, tracks)
     return cls, ground
 
 
@@ -847,15 +977,9 @@ def render_batch_banked(
     tracks = jax.tree.map(lambda x: x[states.route_id], params.track)
     B = states.waypoint_idx.shape[0]
     if jax.default_backend() not in ("cpu",) and B % rp.GROUP == 0:
-        cls = rp.render_batch_pallas_v4(states, params, cam, style, tracks=tracks)
-        if cam.render_props:
-            depth, sky = _static_depth_sky(cam)
-            cls = jax.vmap(
-                lambda c, s, t: billboard_pass(
-                    c, depth, sky, s, params.replace(track=t), cam
-                )[0]
-            )(cls, states, tracks)
-        return cls
+        return _render_batch_pallas_composed(
+            states, params, cam, style, tracks=tracks
+        )[0]
     return jax.vmap(
         lambda s, t: render_semantic(s, params.replace(track=t), cam, style)
     )(states, tracks)

@@ -567,6 +567,164 @@ def render_batch_pallas_v4(
     return jnp.concatenate(blocks, axis=1).reshape(B, cam.height, W)
 
 
+# ---------------------------------------------------------------------------
+# Kernel v5: v4's compute, FLAT natural-order output. v4 wrote stripe-packed
+# [B, SUMP] rows that XLA had to slice at 160-px (non-128-aligned) offsets
+# and concatenate back into [B, H, W] - a measurable relayout on every
+# frame. _row_stripes now aligns stripe breaks to 4-row boundaries
+# (4 rows x W=160 = 640 = 5 x 128 lanes), so each stripe's flat offset is
+# lane-aligned and the kernel can store class rows at their natural
+# [H*W]-order position, sky prefix included. Downstream (billboard
+# composite, seg_to_obs) then runs on [B, 12800] = [B, 100x128] at full
+# lane utilization with zero relayouts. Same per-stripe math as v4 ->
+# bit-identical class values, different output layout.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _stripe_layout_v5(cam: CameraConfig):
+    """Static flat-layout plan: (plan, slab [2, SUMG] numpy, sky_px) where
+    plan = ((K, ground_offset, P), ...), offsets/P in GROUND-relative flat
+    pixels (add sky_px for the image-relative position), all 128-aligned
+    and unpadded. None when the camera's geometry breaks 4-row alignment
+    (callers then fall back to v4's padded stripe packing)."""
+    import numpy as np
+
+    from carla_ppo_tpu.ops.rasterizer import _row_stripes
+
+    n_sky, stripes = _row_stripes(cam)
+    W = cam.width
+    aligned = (n_sky * W) % 128 == 0 and all(
+        (lo * W) % 128 == 0 and (hi * W) % 128 == 0 for lo, hi, _ in stripes
+    )
+    if not aligned:
+        return None
+    plan, slabs = [], []
+    off = 0
+    for row_lo, row_hi, K in stripes:
+        H, Wc, f = cam.height, cam.width, cam.focal
+        u = np.arange(Wc) + 0.5
+        v = np.arange(row_lo, row_hi) + 0.5
+        lateral = (u[None, :] - Wc / 2.0) / f
+        vert = (H / 2.0 - v[:, None]) / f + math.tan(
+            math.radians(cam.pitch_deg)
+        )
+        with np.errstate(divide="ignore"):
+            t = np.where(
+                vert >= -1e-6, 0.0, cam.mount_height / np.maximum(-vert, 1e-12)
+            )
+        a = np.broadcast_to(t, (row_hi - row_lo, Wc)).reshape(-1)
+        b = (-t * lateral).reshape(-1)
+        P = a.shape[0]
+        assert P % 128 == 0, (row_lo, row_hi, P)
+        slabs.append(np.stack([a, b]).astype(np.float32))
+        plan.append((K, off, P))
+        off += P
+    return tuple(plan), np.concatenate(slabs, axis=1), n_sky * W
+
+
+def _make_kernel_v5(stripe_plan, style: RoadStyle, group: int, sky_px: int):
+    """v4's kernel body writing to the flat [group, H*W] output block."""
+
+    def kernel(win_ref, payload_ref, slab_ref, out_ref, sc_ref):
+        if sky_px:
+            out_ref[:, 0:sky_px] = jnp.full(
+                (group, sky_px), int(SegClass.NONE), jnp.int32
+            )
+        for K, off, P in stripe_plan:
+            a1 = slab_ref[0:1, off:off + P]
+            b1 = slab_ref[1:2, off:off + P]
+            for g in range(group):
+                wx = win_ref[g, 0:K, 0:1]
+                wy = win_ref[g, 0:K, 1:2]
+                dx = a1 - wx
+                dy = b1 - wy
+                d2 = dx * dx + dy * dy
+                d2_min = jnp.min(d2, axis=0, keepdims=True)
+                kk = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+                nearest = jnp.min(
+                    jnp.where(d2 == d2_min, kk, K), axis=0, keepdims=True
+                )
+                onehot = (kk == nearest).astype(jnp.float32)
+                near = jnp.dot(
+                    payload_ref[g, :, 0:K], onehot,
+                    preferred_element_type=jnp.float32,
+                )  # [8, P]: fx, fy, c_lat, c_along, kidx, lw, rw, 0
+                for c in range(7):
+                    r = c * group + g
+                    sc_ref[r:r + 1, 0:P] = near[c:c + 1, :]
+                r = 7 * group + g
+                sc_ref[r:r + 1, 0:P] = d2_min
+            # Batched Frenet tail + ladder, [group, P], full sublane use.
+            n_fx = sc_ref[0:group, 0:P]
+            n_fy = sc_ref[group:2 * group, 0:P]
+            c_lat = sc_ref[2 * group:3 * group, 0:P]
+            c_along = sc_ref[3 * group:4 * group, 0:P]
+            kidx = sc_ref[4 * group:5 * group, 0:P]
+            lw = sc_ref[5 * group:6 * group, 0:P]
+            rw = sc_ref[6 * group:7 * group, 0:P]
+            d2m = sc_ref[7 * group:8 * group, 0:P]
+            lat = b1 * n_fx - a1 * n_fy + c_lat
+            s = kidx + a1 * n_fx + b1 * n_fy + c_along
+            dist = jnp.sqrt(jnp.maximum(d2m, 0.0))
+            cls = _classify_block(lat, s, dist, lw, rw, style)
+            out_ref[:, sky_px + off:sky_px + off + P] = cls
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "style", "interpret", "group")
+)
+def render_batch_pallas_v5(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+    interpret: bool = False,
+    tracks: "EnvParams | None" = None,
+    group: int = GROUP,
+) -> Array:
+    """[B, H*W] int32 seg frames in FLAT natural pixel order (sky rows
+    included) - v4's math with aligned flat stores (see the v5 block
+    comment). Callers reshape to [B, H, W] or composite directly on the
+    lane-perfect flat layout. Requires _stripe_layout_v5(cam) is not None."""
+    layout = _stripe_layout_v5(cam)
+    assert layout is not None, "camera geometry breaks 4-row alignment"
+    plan, slab_np, sky_px = layout
+    win_cols, payload = _prep_windows(states, params, cam, tracks)
+    B = win_cols.shape[0]
+    assert B % group == 0, (B, group)
+    slab_all = jnp.asarray(slab_np)
+    HW = cam.height * cam.width
+    Pmax = max(p for _, _, p in plan)
+
+    kernel = _make_kernel_v5(plan, style, group, sky_px)
+    K0 = win_cols.shape[1]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, HW), jnp.int32),
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, K0, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, 8, K0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2, slab_np.shape[1]), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, HW), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((8 * group, Pmax), jnp.float32)],
+        interpret=interpret,
+    )(win_cols, payload, slab_all)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "style", "interpret"))
 def render_batch_pallas_v3d(
     states: EnvState,

@@ -177,3 +177,93 @@ def test_v3d_banked_tracks_matches_reference():
     )
     ref = np.asarray(R.render_batch_banked(states, params))  # CPU -> XLA path
     assert (ref == v).mean() == 1.0
+
+
+def test_v5_flat_matches_reference(lap_params, batch):
+    """v5 (flat natural-order output, the production layout) reshapes to the
+    exact XLA frames - same per-stripe math as v4, aligned flat stores."""
+    from carla_ppo_tpu.ops.rasterizer_pallas import render_batch_pallas_v5
+
+    ref = np.asarray(R.render_batch(batch, lap_params))
+    B = ref.shape[0]
+    v = np.asarray(
+        render_batch_pallas_v5(batch, lap_params, interpret=True)
+    ).reshape(B, 80, 160)
+    assert (ref == v).mean() == 1.0
+
+
+def test_v5_composed_rich_scene_matches_billboard_pass():
+    """The full v5 path (flat kernel + lane-perfect flat billboard composite)
+    equals the per-env XLA billboard_pass on a rich scene with NPC slots -
+    the production render for latent/pixel training."""
+    import dataclasses
+
+    from carla_ppo_tpu.envs import track as track_mod
+    from carla_ppo_tpu.envs.types import EnvParams
+    from carla_ppo_tpu.ops.rasterizer import (
+        _render_batch_pallas_composed,
+        render_semantic_with_ground,
+    )
+
+    params = EnvParams(
+        track=track_mod.make_lap_track(seed=3, props=True), num_npcs=2
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), GROUP)
+    states = jax.vmap(lambda k: lap_env.reset(params, k))(keys)
+    states = dataclasses.replace(
+        states,
+        waypoint_idx=(jnp.arange(GROUP, dtype=jnp.int32) * 113)
+        % params.track.length,
+    )
+    ref_rich, ref_ground = jax.vmap(
+        lambda s: render_semantic_with_ground(s, params)
+    )(states)
+    got_rich, got_ground = _render_batch_pallas_composed(
+        states, params, R.CameraConfig(), R.RoadStyle(), interpret=True
+    )
+    assert (np.asarray(ref_ground) == np.asarray(got_ground)).mean() == 1.0
+    assert (np.asarray(ref_rich) == np.asarray(got_rich)).mean() == 1.0
+
+    # The flat composite's depth/sky returns (the RGB shading inputs) match
+    # the per-env billboard_pass outputs bit-for-bit too.
+    from carla_ppo_tpu.ops.rasterizer import (
+        _composite_billboards_flat,
+        _ground_pass,
+        _static_depth_sky,
+        billboard_pass,
+    )
+
+    cam = R.CameraConfig()
+    depth0, sky0 = _static_depth_sky(cam)
+    ref_cls, ref_depth, ref_sky = jax.vmap(
+        lambda s: billboard_pass(
+            _ground_pass(s, params, cam, R.RoadStyle())[0],
+            depth0, sky0, s, params, cam,
+        )
+    )(states)
+    flat_ground = jnp.asarray(got_ground).reshape(GROUP, -1)
+    got_cls, got_depth, got_sky = _composite_billboards_flat(
+        flat_ground, states, params, cam, return_depth_sky=True
+    )
+    H, W = cam.height, cam.width
+    assert (np.asarray(ref_cls) == np.asarray(got_cls).reshape(-1, H, W)).all()
+    np.testing.assert_array_equal(
+        np.asarray(ref_depth), np.asarray(got_depth).reshape(-1, H, W)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_sky), np.asarray(got_sky).reshape(-1, H, W)
+    )
+
+
+def test_v5_rgb_batch_matches_vmapped_render_rgb():
+    """render_rgb_batch's v5 flat path (--vae_source rgb rollouts) equals
+    vmap(render_rgb) on a rich scene (noise off)."""
+    from carla_ppo_tpu.envs import track as track_mod
+    from carla_ppo_tpu.envs.types import EnvParams
+
+    params = EnvParams(track=track_mod.make_lap_track(seed=3, props=True))
+    keys = jax.random.split(jax.random.PRNGKey(6), GROUP)
+    states = jax.vmap(lambda k: lap_env.reset(params, k))(keys)
+    ref = np.asarray(jax.vmap(lambda s: R.render_rgb(s, params))(states))
+    got = np.asarray(R.render_rgb_batch(states, params))
+    np.testing.assert_allclose(ref, got, atol=1e-5)
