@@ -39,6 +39,14 @@ import jax.numpy as jnp
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=10000)
+    parser.add_argument("--source", type=str, default="seg",
+                        choices=["seg", "rgb"],
+                        help="Encoder input: the rich seg frame (seg->seg "
+                             "de-prop, the round-3 recipe) or the shaded "
+                             "pseudo-RGB render with texture noise (the "
+                             "reference's deployed observation path, "
+                             "vae_common.py:33-62, taken to the de-prop "
+                             "target)")
     parser.add_argument("--route_frames", type=int, default=0,
                         help="extra pairs rendered on dual-lane route tracks")
     parser.add_argument("--num_routes", type=int, default=32)
@@ -92,7 +100,14 @@ def main() -> None:
             )
             return states
 
-        render_rich = jax.jit(lambda s: R.render_batch(s, rich))
+        if args.source == "rgb":
+            # Texture-noise key per batch: domain randomization for the
+            # rgb->seg mapping (rollouts render clean; see render_rgb_batch).
+            render_rich = jax.jit(
+                lambda s, k: R.render_rgb_batch(s, rich, key=k)
+            )
+        else:
+            render_rich = jax.jit(lambda s: R.render_batch(s, rich))
         render_plain = jax.jit(lambda s: R.render_batch(s, plain))
 
         key = jax.random.fold_in(rng, 1000 + t)
@@ -100,7 +115,11 @@ def main() -> None:
         while n < per_track:
             key, k = jax.random.split(key)
             states = scramble(states, k)
-            srcs.append(np.asarray(render_rich(states), np.uint8))
+            if args.source == "rgb":
+                key, kn = jax.random.split(key)
+                srcs.append(np.asarray(render_rich(states, kn), np.float16))
+            else:
+                srcs.append(np.asarray(render_rich(states), np.uint8))
             tgts.append(np.asarray(render_plain(states), np.uint8))
             n += B
         print(f"track {t}: {n} pairs", flush=True)
@@ -151,20 +170,38 @@ def main() -> None:
 
         render_r = jax.jit(jax.vmap(_render_banked, in_axes=(0, None)))
 
+        def _render_banked_rgb(s, params, k):
+            p = params.replace(
+                track=route_env.route_track(params.track, s.route_id)
+            )
+            return R.render_rgb(s, p, key=k)
+
+        render_r_rgb = jax.jit(jax.vmap(_render_banked_rgb, in_axes=(0, None, 0)))
+
         key = jax.random.fold_in(rng, 8888)
         route_srcs, route_tgts = [], []
         n = 0
         while n < args.route_frames:
             key, k = jax.random.split(key)
             states = scramble_routes(states, k)
-            route_srcs.append(np.asarray(render_r(states, rich), np.uint8))
+            if args.source == "rgb":
+                key, kn = jax.random.split(key)
+                route_srcs.append(np.asarray(
+                    render_r_rgb(states, rich, jax.random.split(kn, B)),
+                    np.float16,
+                ))
+            else:
+                route_srcs.append(np.asarray(render_r(states, rich), np.uint8))
             route_tgts.append(np.asarray(render_r(states, plain), np.uint8))
             n += B
         print(f"route tracks: {n} pairs", flush=True)
         srcs.append(np.concatenate(route_srcs)[: args.route_frames])
         tgts.append(np.concatenate(route_tgts)[: args.route_frames])
 
-    source = (np.concatenate(srcs)[..., None] / 12.0).astype(np.float32)
+    if args.source == "rgb":
+        source = np.concatenate(srcs).astype(np.float32)  # [N,H,W,3] in [0,1]
+    else:
+        source = (np.concatenate(srcs)[..., None] / 12.0).astype(np.float32)
     target = (np.concatenate(tgts)[..., None] / 12.0).astype(np.float32)
     print(f"dataset: source {source.shape} target {target.shape}", flush=True)
 
@@ -179,7 +216,7 @@ def main() -> None:
     )
     name = vae_common.model_dir_name(
         "seg", config.loss_type, config.model_type, config.z_dim, config.beta,
-        config.kl_tolerance, source_depth=1,
+        config.kl_tolerance, source_depth=(3 if args.source == "rgb" else 1),
     ).replace("_data", f"_deprop{args.name_suffix}_data")
     model_dir = os.path.join(args.models_dir, name)
     ckpt = Checkpointer(os.path.join(model_dir, "checkpoints"))
