@@ -31,8 +31,10 @@ MIXED_AGENT_DIR = "models/mixed_agent_pretrained"
 ROUTE_LATENT_DIR = "models/route_latent_pretrained"
 TRAFFIC_AGENT_DIR = "models/traffic_agent_pretrained"
 PIXEL_TURNKEY_DIR = "models/pixel_turnkey_pretrained"
+RGB_LATENT_DIR = "models/rgb_latent_pretrained"
 VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
 DEPROP_VAE_DIR = "vae/models/from_seg_seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
+RGB_DEPROP_VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
 
 
 def synthetic_frame(shape) -> jnp.ndarray:
@@ -207,12 +209,21 @@ COMPUTE_FNS = {
         repo_root, ROUTE_LATENT_DIR
     ),
     "traffic_agent": compute_traffic_agent_outputs,
+    # Round 4: the reference's deployed observation path - RGB camera frames
+    # encoded by a frozen VAE (reference: vae_common.py:33-62) - with the
+    # de-prop target. Same latent ActorCritic architecture (z64 ++ 3).
+    "rgb_latent_agent": lambda repo_root=".": compute_latent_agent_outputs(
+        repo_root, RGB_LATENT_DIR
+    ),
     "pixel_turnkey_agent": lambda repo_root=".": compute_pixel_agent_outputs(
         repo_root, PIXEL_TURNKEY_DIR
     ),
     "seg_vae": compute_vae_outputs,
     "deprop_vae": lambda repo_root=".": compute_vae_outputs(
         repo_root, DEPROP_VAE_DIR
+    ),
+    "rgb_deprop_vae": lambda repo_root=".": compute_vae_outputs(
+        repo_root, RGB_DEPROP_VAE_DIR
     ),
 }
 
