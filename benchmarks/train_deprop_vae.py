@@ -78,7 +78,7 @@ def main() -> None:
         # Same centerline twice: dressed and bare.
         rich = EnvParams(
             track=track_mod.make_lap_track(seed=t, props=True),
-            num_npcs=jnp.int32(args.num_npcs),
+            num_npcs=args.num_npcs,
         )
         plain = EnvParams(track=track_mod.make_lap_track(seed=t, props=False))
 
@@ -139,7 +139,7 @@ def main() -> None:
             town, n_routes=args.num_routes, seed=args.seed, props=False
         )
         rich = route_env.route_env_params(
-            bank_rich, num_npcs=jnp.int32(args.num_npcs)
+            bank_rich, num_npcs=args.num_npcs
         )
         plain = route_env.route_env_params(bank_plain)
         states = ppo.init_env_batch(

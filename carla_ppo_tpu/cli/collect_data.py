@@ -80,7 +80,7 @@ def main(argv=None) -> None:
             ),
             spawn_pos_noise=jnp.float32(0.8),
             spawn_yaw_noise=jnp.float32(0.15),
-            num_npcs=jnp.int32(params.num_npcs if params.rich_scene else 0),
+            num_npcs=(params.num_npcs if params.rich_scene else 0),
         )
         track_idx = (track_idx + 1) % params.num_tracks
 

@@ -378,7 +378,14 @@ class EnvParams:
     # NPC traffic: how many of the NUM_NPC_SLOTS are live (0 = no traffic,
     # the reference-parity default), their speed range (m/s), and the
     # ego-overlap box that counts as a collision (half-length/width, m).
-    num_npcs: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
+    # STATIC (python int, part of the jit treedef): with it traced, every
+    # zero-NPC config still paid the full reactive-traffic tick per env step
+    # - [M, M+1] gap matrices, two track-width gathers, wander/jitter sines -
+    # because XLA could not prove the active mask empty. Measured on the
+    # vector pipeline @1024 envs: 2.35 M env-steps/s traced vs 3.81 M with
+    # the block pruned. Static, num_npcs=0 constant-folds the mask and the
+    # whole NPC tick (and the rasterizer's billboard candidates) dead.
+    num_npcs: int = struct.field(pytree_node=False, default=0)
     npc_min_speed: jax.Array = struct.field(default_factory=lambda: jnp.float32(4.0))
     npc_max_speed: jax.Array = struct.field(default_factory=lambda: jnp.float32(7.0))
     npc_collision_s: jax.Array = struct.field(default_factory=lambda: jnp.float32(4.0))

@@ -177,7 +177,7 @@ class Trainer:
             dt=1.0 / settings.fps,
             action_smoothing=settings.action_smoothing,
             reward_fn=settings.reward_fn,
-            num_npcs=jnp.int32(settings.num_npcs),
+            num_npcs=settings.num_npcs,
             npc_min_speed=jnp.float32(settings.npc_min_speed),
             npc_max_speed=jnp.float32(settings.npc_max_speed),
             terminate_on_collision=settings.num_npcs > 0,

@@ -92,7 +92,7 @@ def test_vehicle_hazard_detection(lap_params):
     """is_vehicle_hazard fires only for an active NPC ahead on our lane
     (reference: agent.py:61-118 _is_vehicle_hazard)."""
     s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
-    params_traffic = lap_params.replace(num_npcs=jnp.int32(1))
+    params_traffic = lap_params.replace(num_npcs=1)
     ego_s = float(s.waypoint_idx)
 
     def with_npc(ds, lateral):
@@ -116,7 +116,7 @@ def test_vehicle_hazard_detection(lap_params):
 def test_roaming_agent_emergency_stop(lap_params):
     """The autopilot cuts throttle when a vehicle blocks the lane ahead."""
     s = lap_env.reset(lap_params, jax.random.PRNGKey(0))
-    params_traffic = lap_params.replace(num_npcs=jnp.int32(1))
+    params_traffic = lap_params.replace(num_npcs=1)
     agent = agents.AgentState.create(target_speed_kmh=18.0)
     blocked = s.replace(
         npc_s=s.npc_s.at[0].set(float(s.waypoint_idx) + 5.0),

@@ -172,7 +172,7 @@ def test_npc_overtake_event_detection(lap_params):
     accumulates, and StepOutput carries the running count."""
     import jax
 
-    p = lap_params.replace(num_npcs=jnp.int32(1))
+    p = lap_params.replace(num_npcs=1)
     s = lap_env.reset(p, jax.random.PRNGKey(0))
     s = s.replace(
         vehicle=s.vehicle.replace(vx=jnp.float32(9.0)),
@@ -200,7 +200,7 @@ def test_npc_car_following_brakes_behind_ego(lap_params):
     stabilizes near npc_follow_min and no collision fires from behind."""
     import jax
 
-    p = lap_params.replace(num_npcs=jnp.int32(1))
+    p = lap_params.replace(num_npcs=1)
     s = lap_env.reset(p, jax.random.PRNGKey(0))
     ego_s0 = float(s.waypoint_idx)
     s = s.replace(
@@ -227,7 +227,7 @@ def test_npc_rails_mode_reproduces_round3_behavior(lap_params):
     frozen lateral."""
     import jax
 
-    p = lap_params.replace(num_npcs=jnp.int32(2), npc_reactive=False)
+    p = lap_params.replace(num_npcs=2, npc_reactive=False)
     s = lap_env.reset(p, jax.random.PRNGKey(0))
     lat0 = np.asarray(s.npc_lateral)
     s0 = np.asarray(s.npc_s)
@@ -246,7 +246,7 @@ def test_npc_wander_stays_on_road(lap_params):
     from each edge) at the NPC's own waypoint."""
     import jax
 
-    p = lap_params.replace(num_npcs=jnp.int32(4))
+    p = lap_params.replace(num_npcs=4)
     s = lap_env.reset(p, jax.random.PRNGKey(3))
     action = jnp.asarray([0.0, 0.3], jnp.float32)
     moved = False
@@ -270,7 +270,7 @@ def test_npc_lapping_ego_is_not_an_overtake(lap_params):
     review finding: it paid a phantom pass_bonus once per relative lap)."""
     import jax
 
-    p = lap_params.replace(num_npcs=jnp.int32(1))
+    p = lap_params.replace(num_npcs=1)
     s = lap_env.reset(p, jax.random.PRNGKey(0))
     L = float(p.track.length)
     # NPC just under half a track ahead and moving fast; a stationary-ish

@@ -132,7 +132,7 @@ def npc_state(lap_params, ds, dlat, speed_ms=20.0 / 3.6, dist_center=0.0):
 
 
 def traffic_params(lap_params, n=1):
-    return lap_params.replace(num_npcs=jnp.int32(n))
+    return lap_params.replace(num_npcs=n)
 
 
 def test_traffic_reward_matches_additive_without_npcs(lap_params):

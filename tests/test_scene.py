@@ -25,7 +25,7 @@ from carla_ppo_tpu.ops import rasterizer as R
 def rich_params():
     return EnvParams(
         track=track_mod.make_lap_track(seed=0, props=True),
-        num_npcs=jnp.int32(6),
+        num_npcs=6,
         terminate_on_collision=True,
     )
 
@@ -195,7 +195,7 @@ def test_npc_billboard_prune_bit_identical(rich_params):
     render EXACTLY what the default program renders when no NPC is active:
     every NPC slot is class NONE, so the pruned pass drops only provably
     invisible candidates."""
-    no_npc = rich_params.replace(num_npcs=jnp.int32(0))
+    no_npc = rich_params.replace(num_npcs=0)
     pruned = no_npc.replace(render_npc_billboards=False)
     s = lap_env.reset(no_npc, jax.random.PRNGKey(4))
     for _ in range(40):
