@@ -136,12 +136,32 @@ def build_parser() -> argparse.ArgumentParser:
                         help="distance bar (m) when the solve metric is "
                              "'distance'")
     parser.add_argument("--best_key", type=str, default="progress",
-                        choices=["progress", "finished_first"],
+                        choices=["progress", "finished_first",
+                                 "finished_overtakes"],
                         help="best-checkpoint ranking: 'progress' = (laps, "
                              "reward); 'finished_first' additionally ranks "
                              "evals whose episodes actually concluded above "
                              "eval-budget survivors (kills the slow-crawler "
-                             "artifact on traffic configs)")
+                             "artifact on traffic configs); "
+                             "'finished_overtakes' = (finished, laps, "
+                             "overtakes, reward) - traffic configs, where "
+                             "reward-as-tiebreaker prefers agents that pace "
+                             "behind NPCs over agents that pass them")
+    parser.add_argument("--reward_min_speed", type=float, default=None,
+                        help="override RewardParams.min_speed (km/h; start "
+                             "of the full-speed-reward plateau). Traffic "
+                             "configs should put the plateau ABOVE NPC pace "
+                             "or following the slowest NPC already earns "
+                             "the maximum speed reward")
+    parser.add_argument("--reward_target_speed", type=float, default=None,
+                        help="override RewardParams.target_speed (km/h; end "
+                             "of the plateau)")
+    parser.add_argument("--reward_max_speed", type=float, default=None,
+                        help="override RewardParams.max_speed (km/h; reward "
+                             "goes negative beyond)")
+    parser.add_argument("--pass_bonus", type=float, default=None,
+                        help="override RewardParams.pass_bonus (reward per "
+                             "completed overtake, reward_traffic_add)")
     parser.add_argument("--stall_timeout", type=float, default=0.0,
                         help="exit with code 17 when no iteration completes "
                              "for this many seconds (wedged-RPC recovery; "
@@ -313,6 +333,10 @@ def main(argv=None) -> None:
         num_npcs=params["num_npcs"],
         npc_min_speed=params["npc_min_speed"],
         npc_max_speed=params["npc_max_speed"],
+        reward_min_speed=params["reward_min_speed"],
+        reward_target_speed=params["reward_target_speed"],
+        reward_max_speed=params["reward_max_speed"],
+        pass_bonus=params["pass_bonus"],
         fps=params["fps"],
         action_smoothing=params["action_smoothing"],
         reward_fn=params["reward_fn"],

@@ -21,7 +21,7 @@ import numpy as np
 
 from carla_ppo_tpu.envs import route_env, route_planner, track as track_mod
 from carla_ppo_tpu.envs.observations import vector_obs_dim
-from carla_ppo_tpu.envs.types import EnvParams
+from carla_ppo_tpu.envs.types import EnvParams, RewardParams
 from carla_ppo_tpu.models.policy import ActorCritic
 from carla_ppo_tpu.training import ppo
 from carla_ppo_tpu.utils.checkpoint import Checkpointer
@@ -127,6 +127,15 @@ class TrainerSettings:
     # (RESULTS_round3.md, traffic_npc_r3). A true solve terminates its
     # episode, so the final ranking is unchanged; only crawlers demote.
     best_key: str = "progress"
+    # Reward-shape overrides (None = RewardParams defaults). The traffic
+    # configs need the speed-reward plateau ABOVE NPC cruise pace: with the
+    # default trapezoid (full reward on [15, 20] km/h) and NPCs at
+    # 14.4-25.2 km/h, following the slowest NPC already earns the maximum
+    # speed reward and overtaking is pure collision risk (round-4 finding).
+    reward_min_speed: Optional[float] = None
+    reward_target_speed: Optional[float] = None
+    reward_max_speed: Optional[float] = None
+    pass_bonus: Optional[float] = None
     # Stall watchdog: exit the process (code utils.watchdog.STALL_EXIT_CODE)
     # when no iteration completes for this many seconds - the recovery for
     # the axon platform's occasional wedged-RPC futex hang (ROADMAP item 7;
@@ -184,6 +193,18 @@ class Trainer:
             render_npc_billboards=settings.num_npcs > 0,
             junction_spawn_prob=jnp.float32(settings.junction_spawn_prob),
         )
+        rp_overrides = {
+            k: jnp.float32(v)
+            for k, v in dict(
+                min_speed=settings.reward_min_speed,
+                target_speed=settings.reward_target_speed,
+                max_speed=settings.reward_max_speed,
+                pass_bonus=settings.pass_bonus,
+            ).items()
+            if v is not None
+        }
+        if rp_overrides:
+            env_common["reward"] = RewardParams(**rp_overrides)
         self._heldout_params: Dict[str, EnvParams] = {}
         off = settings.heldout_seed_offset
         if env_params is not None:
@@ -396,7 +417,9 @@ class Trainer:
         # (observed round 3: a resume saved a 1.66-route eval over the
         # original run's 1.82).
         self._best_score_path = os.path.join(self.model_dir, "best_score.json")
-        score_len = 3 if settings.best_key == "finished_first" else 2
+        score_len = {"finished_first": 3, "finished_overtakes": 4}.get(
+            settings.best_key, 2
+        )
         self.best_eval_score = (-float("inf"),) * score_len
         if os.path.exists(self._best_score_path):
             try:
@@ -704,6 +727,21 @@ class Trainer:
                     eval_score = (
                         round(eval_metrics.get("eval/finished", 0.0), 2),
                         progress,
+                        eval_reward,
+                    )
+                elif self.settings.best_key == "finished_overtakes":
+                    # Traffic configs: reward-as-tiebreaker prefers SLOW
+                    # finishers (per-step reward is positive, so a pacing
+                    # agent farms more steps per lap than an overtaking
+                    # one); rank completed overtakes ahead of it so the
+                    # best checkpoint is the agent that actually passes
+                    # traffic (round-4 finding: a car-following fine-tune
+                    # solved 3.00 laps with 0.0 overtakes by queueing NPCs
+                    # behind itself).
+                    eval_score = (
+                        round(eval_metrics.get("eval/finished", 0.0), 2),
+                        progress,
+                        round(eval_metrics.get("eval/overtakes", 0.0), 2),
                         eval_reward,
                     )
                 else:

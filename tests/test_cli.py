@@ -233,3 +233,24 @@ def test_train_parser_npc_speed_knobs():
         ["--model_name", "m", "--npc_min_speed", "2.5", "--npc_max_speed", "9"]
     )
     assert (args.npc_min_speed, args.npc_max_speed) == (2.5, 9.0)
+
+
+def test_train_parser_traffic_reward_knobs():
+    """Round-4 traffic levers: reward-shape overrides (default None =
+    RewardParams defaults) and the finished_overtakes best key."""
+    from carla_ppo_tpu.cli.train import build_parser
+
+    p = build_parser()
+    args = p.parse_args(["--model_name", "m"])
+    assert args.reward_min_speed is None
+    assert args.reward_target_speed is None
+    assert args.reward_max_speed is None
+    assert args.pass_bonus is None
+    args = p.parse_args(
+        ["--model_name", "m", "--best_key", "finished_overtakes",
+         "--reward_min_speed", "20", "--reward_target_speed", "24",
+         "--reward_max_speed", "30", "--pass_bonus", "40"]
+    )
+    assert args.best_key == "finished_overtakes"
+    assert (args.reward_min_speed, args.reward_target_speed,
+            args.reward_max_speed, args.pass_bonus) == (20.0, 24.0, 30.0, 40.0)

@@ -338,6 +338,68 @@ def test_best_key_finished_first(tmp_path, monkeypatch):
     t.close()
 
 
+def test_best_key_finished_overtakes(tmp_path, monkeypatch):
+    """finished_overtakes ranks completed overtakes above reward: a pacing
+    agent that finishes by queueing NPCs behind itself (0 overtakes, HIGH
+    reward - positive per-step reward pays slow finishers more) must not
+    outrank a finisher that actually passes traffic (round-4 finding)."""
+    settings = TrainerSettings(
+        model_name="bko",
+        models_root=str(tmp_path),
+        num_iterations=2,
+        eval_interval=1,
+        eval_envs=2,
+        checkpoint_interval=100,
+        best_key="finished_overtakes",
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+
+    evals = [
+        # it=0: pacer - finished, 3 laps, zero overtakes, huge reward.
+        {"eval/finished": 1.0, "eval/laps_completed": 3.0,
+         "eval/overtakes": 0.0, "eval/reward": 69000.0},
+        # it=1: overtaker - finished, 3 laps, passes traffic, less reward.
+        {"eval/finished": 1.0, "eval/laps_completed": 3.0,
+         "eval/overtakes": 4.5, "eval/reward": 52000.0},
+    ]
+    real_eval = Trainer.evaluate
+
+    def fake_evaluate(self):
+        m = real_eval(self)
+        m.update(evals.pop(0))
+        return m
+
+    monkeypatch.setattr(Trainer, "evaluate", fake_evaluate)
+    t = Trainer(settings, config)
+    t.train()
+    assert t.best_eval_score == (1.0, 3.0, 4.5, 52000.0)
+    assert t.checkpointer.latest_step() == 1
+    t.close()
+
+
+def test_reward_param_overrides(tmp_path):
+    """The reward-shape overrides land in EnvParams.reward; unset fields
+    keep RewardParams defaults."""
+    settings = TrainerSettings(
+        model_name="rpov",
+        models_root=str(tmp_path),
+        num_iterations=0,
+        reward_min_speed=20.0,
+        reward_target_speed=24.0,
+        pass_bonus=40.0,
+    )
+    config = ppo.PPOConfig(horizon=8, num_envs=4, num_minibatches=2)
+    t = Trainer(settings, config)
+    rp = t.env_params.reward
+    assert float(rp.min_speed) == 20.0
+    assert float(rp.target_speed) == 24.0
+    assert float(rp.pass_bonus) == 40.0
+    # untouched fields keep their defaults
+    assert float(rp.max_speed) == 25.0
+    assert float(rp.max_distance) == 3.0
+    t.close()
+
+
 def test_best_key_length_mismatch_resets_bar(tmp_path, monkeypatch):
     """Switching best_key against an existing best_score.json starts the bar
     fresh instead of comparing tuples with different semantics."""
