@@ -200,9 +200,45 @@ def main() -> None:
         lat_flops / latent_sec / V5E_PEAK_FLOPS["bf16"] if lat_flops else 0.0
     )
 
-    # Semantic-camera render: the jitted production program over the rich
-    # scene (the exact fn the pixel/latent rollouts fuse per step). Reduce
-    # on-device so the sync fetch is a scalar, not the 50 MB frame batch.
+    # Semantic-camera render, measured the way production runs it: INSIDE a
+    # scanned program. Every consumer (the pixel/latent rollout scans) fuses
+    # render_batch per step of one XLA program; a standalone per-call
+    # dispatch additionally pays the axon remote-queue overhead production
+    # never sees (~2.9 ms of the round-3 standalone 6.6 ms - measured by
+    # benchmarks/profile_latent.py, RESULTS_round4). The scan carries a real
+    # data dependence (the frame sum's low bit perturbs the next step's
+    # waypoint_idx by 0/1 - same render cost, opaque to XLA) so the chain
+    # cannot be hoisted or folded. The per-dispatch number ships alongside
+    # as seg_render_dispatch_ms for continuity with rounds 1-3.
+    RENDER_SCAN = 32
+
+    @jax.jit
+    def render_scan(states):
+        def body(idx, _):
+            st = states.replace(waypoint_idx=idx)
+            cls = R.render_batch(st, rich_params)
+            bump = cls.sum(dtype=jnp.int32) & 1
+            return idx + bump, cls.reshape(NUM_ENVS, -1)[0, 0]
+
+        idx, last = jax.lax.scan(
+            body, states.waypoint_idx, None, length=RENDER_SCAN
+        )
+        return idx.sum() + last.sum()
+
+    sout = {"x": render_scan(lstate["envs"])}
+    np.asarray(sout["x"])
+
+    def render_scan_once():
+        sout["x"] = render_scan(lstate["envs"])
+
+    def render_scan_sync():
+        np.asarray(sout["x"])
+
+    render_ms = (
+        median_time(render_scan_once, render_scan_sync, iters=2)
+        / RENDER_SCAN * 1e3
+    )
+
     render = jax.jit(
         lambda s: R.render_batch(s, rich_params).sum(dtype=jax.numpy.int32)
     )
@@ -215,7 +251,7 @@ def main() -> None:
     def render_sync():
         np.asarray(out["x"])
 
-    render_ms = median_time(render_once, render_sync, iters=10) * 1e3
+    render_dispatch_ms = median_time(render_once, render_sync, iters=10) * 1e3
     render_vpu_ops, render_hbm_bytes = render_cost(NUM_ENVS)
     render_sec = render_ms / 1e3
     render_vpu_util = render_vpu_ops / render_sec / V5E_PEAK_VPU_OPS
@@ -231,7 +267,8 @@ def main() -> None:
                 "extra": {
                     "latent_train_steps_per_sec": round(latent_sps, 1),
                     "seg_render_ms_1024_frames": round(render_ms, 2),
-                    "pinned_config": "latent+render on rich scene (props=True), median of 5 trials",
+                    "seg_render_dispatch_ms": round(render_dispatch_ms, 2),
+                    "pinned_config": "latent+render on rich scene (props=True), median of 5 trials; render measured in-scan (production shape), dispatch variant alongside",
                     # Roofline accounting (VERDICT round-3 item 6): per-
                     # iteration XLA-counted FLOPs/bytes over measured time,
                     # vs v5e peaks (197T bf16 / 49T f32 MXU, 819 GB/s HBM).

@@ -477,15 +477,29 @@ def _stripe_layout(cam: CameraConfig):
 
 
 def _prep_windows(states, params, cam: CameraConfig, tracks=None):
-    """XLA prep shared by v3d/v4: per-env camera-rotated waypoint windows.
+    """XLA prep shared by v3d/v4/v5: per-env camera-rotated waypoint windows.
 
-    Returns (win_cols [B, K, 8], payload [B, 8, K])."""
+    Returns (win_cols [B, K, 8], payload [B, 8, K]).
+
+    Negative result, for the record (round 4): replacing the [B, K] window
+    gather with a one-hot MXU matmul against a hoisted sliding-window
+    matrix (windows are contiguous, so W[l] = ext[l:l+K] is loop-invariant
+    and onehot(start) @ W selects them in one [B, cap+behind] x
+    [cap+behind, K*6] contraction) did NOT pay on hardware. Interleaved
+    same-process A/B at B=1024, T=32 in-scan: gather 1.11 ms vs one-hot
+    1.03 ms at DEFAULT matmul precision - but DEFAULT truncates the table
+    to bf16 and the windows came back bit-DIFFERENT on the real MXU (CPU
+    tests cannot catch this; f32 dot is exact there). At
+    Precision.HIGHEST - required for the bit-exactness every pallas-vs-XLA
+    parity test asserts - the matmul's 6-pass f32 emulation ate the win:
+    gather 1.23 ms vs one-hot 1.25 ms. The in-scan gather was never the
+    bottleneck; the round-3 '~1.7 ms window fetch' number was a
+    standalone-dispatch artifact (axon per-call overhead, see
+    benchmarks/profile_render_scan.py). See git history for the code."""
 
     from carla_ppo_tpu.ops.rasterizer import _window_table
 
-    def prep(state, track):
-        idxs = _window_indices(state.waypoint_idx, cam)
-        win = wp_gather(_window_table(track), idxs, track.length, track.is_loop)
+    def rotate(state, win):
         yaw = state.vehicle.yaw
         cy, sy = jnp.cos(yaw), jnp.sin(yaw)
         cam_xy = state.vehicle.pos + jnp.stack([cy, sy]) * cam.mount_forward
@@ -508,6 +522,11 @@ def _prep_windows(states, params, cam: CameraConfig, tracks=None):
             [fpx, fpy, c_lat, c_along, kidx, win[:, 4], win[:, 5], zeros]
         )
         return win_cols, payload
+
+    def prep(state, track):
+        idxs = _window_indices(state.waypoint_idx, cam)
+        win = wp_gather(_window_table(track), idxs, track.length, track.is_loop)
+        return rotate(state, win)
 
     if tracks is None:
         return jax.vmap(lambda s: prep(s, params.track))(states)
