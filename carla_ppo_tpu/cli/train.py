@@ -162,6 +162,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pass_bonus", type=float, default=None,
                         help="override RewardParams.pass_bonus (reward per "
                              "completed overtake, reward_traffic_add)")
+    parser.add_argument("--blocked_scale", type=float, default=None,
+                        help="override RewardParams.blocked_scale: scale the "
+                             "positive shaping terms while queued in-lane "
+                             "behind an NPC within --block_range m "
+                             "(reward_traffic_add; 1.0 = off). The "
+                             "anti-pacing lever: ~0.25 makes passing the "
+                             "only way to earn full per-step reward")
+    parser.add_argument("--block_range", type=float, default=None,
+                        help="override RewardParams.block_range (m ahead "
+                             "that counts as blocked)")
     parser.add_argument("--stall_timeout", type=float, default=0.0,
                         help="exit with code 17 when no iteration completes "
                              "for this many seconds (wedged-RPC recovery; "
@@ -234,6 +244,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "per-NPC speeds draw uniformly per episode")
     parser.add_argument("--npc_max_speed", type=float, default=7.0,
                         help="NPC cruise-speed range upper bound (m/s)")
+    parser.add_argument("--npc_keep_lat", type=float, default=0.0,
+                        help="NPC lane-keeping home lateral offset (m; "
+                             "negative = right side). With --npc_keep_gain "
+                             "> 0 NPC wander oscillates around this home "
+                             "instead of free-walking across the road")
+    parser.add_argument("--npc_keep_gain", type=float, default=0.0,
+                        help="NPC lane-keeping spring rate (1/s; 0 = "
+                             "round-4 free walk)")
     parser.add_argument("--obs_fn", type=str, default="vector",
                         choices=["vector", "vector_npc"],
                         help="Ground-truth vector obs variant: 'vector_npc' "
@@ -333,6 +351,10 @@ def main(argv=None) -> None:
         num_npcs=params["num_npcs"],
         npc_min_speed=params["npc_min_speed"],
         npc_max_speed=params["npc_max_speed"],
+        npc_keep_lat=params["npc_keep_lat"],
+        npc_keep_gain=params["npc_keep_gain"],
+        blocked_scale=params["blocked_scale"],
+        block_range=params["block_range"],
         reward_min_speed=params["reward_min_speed"],
         reward_target_speed=params["reward_target_speed"],
         reward_max_speed=params["reward_max_speed"],

@@ -337,8 +337,12 @@ def step(
         wander = params.npc_wander_rate * jnp.sin(
             0.11 * t_step + 2.39996 * slot_f + 1.0
         )
+        # Lane-keeping spring toward npc_keep_lat (keep_gain=0 = round-4
+        # free walk; see EnvParams.npc_keep_lat for why traffic configs
+        # want a keep-right home).
+        keep = params.npc_keep_gain * (params.npc_keep_lat - state.npc_lateral)
         npc_lateral = jnp.clip(
-            state.npc_lateral + wander * params.dt,
+            state.npc_lateral + (wander + keep) * params.dt,
             -(npc_rw - 0.8),
             npc_lw - 0.8,
         )

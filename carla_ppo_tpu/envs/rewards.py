@@ -135,7 +135,13 @@ def reward_traffic_add(state: EnvState, params: EnvParams) -> Array:
       -1.5: a smooth approach gradient toward keeping a passing margin;
     - each COMPLETED overtake (an NPC's gap sign-flips ahead -> behind,
       detected in lap_env.step) pays RewardParams.pass_bonus once - sized
-      to decisively outearn staying parked behind an NPC at its pace.
+      to decisively outearn staying parked behind an NPC at its pace;
+    - the whole positive sum is scaled by RewardParams.blocked_scale while
+      an active NPC sits ahead IN-LANE within block_range meters (round-5
+      anti-pacing gate; see the RewardParams.blocked_scale comment for the
+      round-4 measurements motivating it). The proximity penalty and the
+      pass bonus are NOT scaled: safety pressure and the passing payoff
+      survive the gate at full strength.
     """
     from carla_ppo_tpu.envs.observations import npc_gaps
 
@@ -149,6 +155,14 @@ def reward_traffic_add(state: EnvState, params: EnvParams) -> Array:
     )
     centering = jnp.where(passing, 1.0, _centering_factor(state, rp))
 
+    blocked = jnp.any(
+        active
+        & (ds > 0.0)
+        & (ds < rp.block_range)
+        & (jnp.abs(dlat) < PASS_LATERAL_MIN)
+    )
+    gate = jnp.where(blocked, rp.blocked_scale, 1.0)
+
     slack_s = jnp.maximum(jnp.abs(ds) - params.npc_collision_s, 0.0)
     slack_l = jnp.maximum(jnp.abs(dlat) - params.npc_collision_lat, 0.0)
     clearance = jnp.sqrt(slack_s**2 + slack_l**2)
@@ -159,9 +173,12 @@ def reward_traffic_add(state: EnvState, params: EnvParams) -> Array:
     )
 
     return (
-        _speed_reward(3.6 * state.vehicle.speed, rp)
-        + centering
-        + _angle_factor(state, rp)
+        gate
+        * (
+            _speed_reward(3.6 * state.vehicle.speed, rp)
+            + centering
+            + _angle_factor(state, rp)
+        )
         - PROXIMITY_SCALE * danger
         + rp.pass_bonus * state.npc_just_passed
     )

@@ -326,6 +326,22 @@ class RewardParams:
     pass_bonus: jax.Array = struct.field(
         default_factory=lambda: jnp.float32(20.0)
     )
+    # Blocked-reward gate (reward_traffic_add): while an active NPC sits
+    # ahead in-lane within block_range meters along-track, the positive
+    # shaping terms (speed + centering + angle) are scaled by blocked_scale.
+    # 1.0 = off (round-4 behavior). This is the decisive anti-pacing lever:
+    # round 4 showed that raising the speed plateau above NPC pace still
+    # leaves queueing behind traffic earning ~2.5/step (full centering +
+    # angle + partial speed), so risk-adjusted pacing stayed optimal and
+    # both reshaped fine-tunes ended with 0.0 overtakes
+    # (models/traffic_*_r4/best_score.json). Gating the whole positive
+    # reward while blocked makes passing the ONLY way to earn full pay.
+    blocked_scale: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(1.0)
+    )
+    block_range: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(15.0)
+    )
 
 
 @struct.dataclass
@@ -409,6 +425,15 @@ class EnvParams:
     # oscillation at 30 fps), clamped to the road width at the NPC's
     # waypoint minus a half-car margin.
     npc_wander_rate: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.5))
+    # Lane keeping: a spring (rate keep_gain 1/s) pulling each NPC's lateral
+    # offset toward keep_lat while it wanders. keep_gain=0 reproduces the
+    # round-4 free walk exactly (NPCs drift anywhere across the road, so the
+    # passing corridor opens and closes at random - one of the two reasons
+    # the round-4 overtaker fine-tunes regressed to pacing). A keep-right
+    # home (keep_lat < 0) with gain ~0.8 holds traffic to one side the way
+    # real lane discipline does, leaving a learnable corridor on the left.
+    npc_keep_lat: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))
+    npc_keep_gain: jax.Array = struct.field(default_factory=lambda: jnp.float32(0.0))
     # Traffic lights at junction entries: waypoint index + phase offset (s)
     # per light, sharing one green->yellow->red cycle. The default EMPTY
     # table means no lights anywhere - the reference-parity RL configs,
@@ -453,6 +478,25 @@ class EnvParams:
     render_npc_billboards: bool = struct.field(pytree_node=False, default=True)
     # Lap env: eval resets go to waypoint 0; training resets to the checkpoint
     # (reference: carla_lap_env.py:206-213).
+
+    def __post_init__(self):
+        # num_npcs became a STATIC treedef field in round 4 (see its comment
+        # above) - an API break for callers still passing a JAX scalar
+        # (replace(num_npcs=jnp.int32(k)) used to work). A traced/array value
+        # embedded in the treedef fails jit hashing with a non-obvious error
+        # and each distinct value forces a recompile; coerce concrete values
+        # and fail loudly on tracers instead.
+        n = self.num_npcs
+        if not isinstance(n, int):
+            import jax.core as _core
+
+            if isinstance(n, _core.Tracer):
+                raise TypeError(
+                    "EnvParams.num_npcs is a STATIC (treedef) field and "
+                    "cannot be traced; pass a python int (it selects program "
+                    "structure - see the field comment)"
+                )
+            object.__setattr__(self, "num_npcs", int(n))
 
 
 def default_env_state(

@@ -21,7 +21,7 @@ import numpy as np
 
 from carla_ppo_tpu.envs import route_env, route_planner, track as track_mod
 from carla_ppo_tpu.envs.observations import vector_obs_dim
-from carla_ppo_tpu.envs.types import EnvParams, RewardParams
+from carla_ppo_tpu.envs.types import EnvParams
 from carla_ppo_tpu.models.policy import ActorCritic
 from carla_ppo_tpu.training import ppo
 from carla_ppo_tpu.utils.checkpoint import Checkpointer
@@ -136,6 +136,18 @@ class TrainerSettings:
     reward_target_speed: Optional[float] = None
     reward_max_speed: Optional[float] = None
     pass_bonus: Optional[float] = None
+    # Blocked-reward gate (RewardParams.blocked_scale/block_range): scale the
+    # positive shaping terms while queued in-lane behind an NPC. The round-5
+    # anti-pacing lever - raising the speed plateau alone (above) measurably
+    # did NOT defeat pacing (round-4 fine-tunes: 0.0 overtakes at best).
+    blocked_scale: Optional[float] = None
+    block_range: Optional[float] = None
+    # NPC lane keeping (EnvParams.npc_keep_lat/npc_keep_gain): spring pulling
+    # each NPC's lateral wander toward a home offset. Defaults preserve the
+    # round-4 free walk; overtaker configs use a keep-right home so a
+    # passing corridor reliably exists.
+    npc_keep_lat: float = 0.0
+    npc_keep_gain: float = 0.0
     # Stall watchdog: exit the process (code utils.watchdog.STALL_EXIT_CODE)
     # when no iteration completes for this many seconds - the recovery for
     # the axon platform's occasional wedged-RPC futex hang (ROADMAP item 7;
@@ -191,6 +203,8 @@ class Trainer:
             npc_max_speed=jnp.float32(settings.npc_max_speed),
             terminate_on_collision=settings.num_npcs > 0,
             render_npc_billboards=settings.num_npcs > 0,
+            npc_keep_lat=jnp.float32(settings.npc_keep_lat),
+            npc_keep_gain=jnp.float32(settings.npc_keep_gain),
             junction_spawn_prob=jnp.float32(settings.junction_spawn_prob),
         )
         rp_overrides = {
@@ -200,11 +214,11 @@ class Trainer:
                 target_speed=settings.reward_target_speed,
                 max_speed=settings.reward_max_speed,
                 pass_bonus=settings.pass_bonus,
+                blocked_scale=settings.blocked_scale,
+                block_range=settings.block_range,
             ).items()
             if v is not None
         }
-        if rp_overrides:
-            env_common["reward"] = RewardParams(**rp_overrides)
         self._heldout_params: Dict[str, EnvParams] = {}
         off = settings.heldout_seed_offset
         if env_params is not None:
@@ -258,6 +272,19 @@ class Trainer:
                 ),
                 **env_common,
             )
+
+        # Reward-shape overrides compose with whatever reward the resolved
+        # env_params carries (incl. a caller-supplied env_params, whose
+        # overrides used to be silently dropped - round-4 advisor finding)
+        # instead of replacing it with a fresh RewardParams.
+        if rp_overrides:
+            self.env_params = self.env_params.replace(
+                reward=self.env_params.reward.replace(**rp_overrides)
+            )
+            self._heldout_params = {
+                k: p.replace(reward=p.reward.replace(**rp_overrides))
+                for k, p in self._heldout_params.items()
+            }
 
         # Observations: ground-truth vector, frozen-VAE latent, or pixels.
         self.obs_mode = settings.obs or (

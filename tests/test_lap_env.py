@@ -287,3 +287,44 @@ def test_npc_lapping_ego_is_not_an_overtake(lap_params):
     for _ in range(10):
         s, out = lap_env.step(s, action, p)
     assert float(s.npc_overtakes) == 0.0
+
+
+def test_npc_lane_keeping_spring_holds_home(lap_params):
+    """With npc_keep_gain > 0 the lateral wander oscillates around
+    npc_keep_lat instead of free-walking across the road (round-5 lever:
+    a keep-right home leaves a reliable passing corridor)."""
+    import jax
+
+    home = -0.5
+    p = lap_params.replace(
+        num_npcs=4,
+        npc_keep_lat=jnp.float32(home),
+        npc_keep_gain=jnp.float32(1.5),
+    )
+    s = lap_env.reset(p, jax.random.PRNGKey(3))
+    action = jnp.asarray([0.0, 0.3], jnp.float32)
+    # Let the spring settle, then check the NPCs hold near home.
+    for _ in range(150):
+        s, _ = lap_env.step(s, action, p)
+    lats = []
+    for _ in range(120):
+        s, _ = lap_env.step(s, action, p)
+        lats.append(np.asarray(s.npc_lateral)[:4].copy())
+    lats = np.stack(lats)  # [T, 4]
+    # Mean near home; oscillation bounded well inside the road.
+    assert np.abs(lats.mean(axis=0) - home).max() < 0.35
+    assert np.abs(lats - home).max() < 1.2
+
+    # keep_gain=0 (default) reproduces the round-4 free walk bit-exactly.
+    p0 = lap_params.replace(num_npcs=4)
+    pk = lap_params.replace(
+        num_npcs=4, npc_keep_lat=jnp.float32(9.9), npc_keep_gain=jnp.float32(0.0)
+    )
+    s0 = lap_env.reset(p0, jax.random.PRNGKey(7))
+    sk = lap_env.reset(pk, jax.random.PRNGKey(7))
+    for _ in range(30):
+        s0, _ = lap_env.step(s0, action, p0)
+        sk, _ = lap_env.step(sk, action, pk)
+    np.testing.assert_array_equal(
+        np.asarray(s0.npc_lateral), np.asarray(sk.npc_lateral)
+    )

@@ -225,3 +225,38 @@ def test_traffic_reward_pass_bonus(lap_params):
     base = float(fn(s, p))
     bumped = float(fn(s.replace(npc_just_passed=jnp.float32(1.0)), p))
     assert bumped - base == pytest.approx(float(p.reward.pass_bonus), abs=1e-4)
+
+
+def test_traffic_reward_blocked_gate_scales_positive_terms(lap_params):
+    """blocked_scale < 1: queued in-lane behind an NPC within block_range,
+    the positive shaping terms scale down; the proximity penalty and the
+    pass bonus do NOT (round-5 anti-pacing gate)."""
+    p = traffic_params(lap_params)
+    p = p.replace(reward=p.reward.replace(blocked_scale=jnp.float32(0.25)))
+    fn = rewards.reward_functions["reward_traffic_add"]
+
+    # Same geometry as the no-waiver test: ds=8 in-lane. Positive terms were
+    # 1 + 1/3 + 1 (speed, centering, angle); proximity penalty 0.5.
+    s = npc_state(p, ds=8.0, dlat=0.0, dist_center=2.0)
+    assert float(fn(s, p)) == pytest.approx(
+        0.25 * (1.0 + 1.0 / 3.0 + 1.0) - 0.5, abs=1e-4
+    )
+
+    # The pass bonus rides through unscaled.
+    bumped = float(fn(s.replace(npc_just_passed=jnp.float32(1.0)), p))
+    assert bumped - float(fn(s, p)) == pytest.approx(
+        float(p.reward.pass_bonus), abs=1e-4
+    )
+
+
+def test_traffic_reward_blocked_gate_ignores_npc_behind_or_far(lap_params):
+    """The gate only fires on an NPC AHEAD within block_range and in-lane:
+    behind, beyond range, or laterally offset leaves reward unscaled."""
+    p = traffic_params(lap_params)
+    p = p.replace(reward=p.reward.replace(blocked_scale=jnp.float32(0.25)))
+    fn = rewards.reward_functions["reward_traffic_add"]
+
+    for ds, dlat in [(-8.0, 0.0), (20.0, 0.0), (8.0, 2.0)]:
+        s = npc_state(p, ds=ds, dlat=dlat, dist_center=0.0)
+        p_off = p.replace(reward=p.reward.replace(blocked_scale=jnp.float32(1.0)))
+        assert float(fn(s, p)) == pytest.approx(float(fn(s, p_off)), abs=1e-5)

@@ -530,3 +530,36 @@ def test_heldout_eval_disabled(tmp_path):
     assert not any(k.startswith("eval_heldout/") for k in m)
     assert not t._heldout_params
     t.close()
+
+
+def test_reward_overrides_compose_with_explicit_env_params(tmp_path):
+    """Overrides replace fields ON the resolved env_params' reward - both
+    with an explicit env_params (round-4 advisor finding: they were
+    silently dropped) and on the CLI path, where non-overridden fields must
+    keep the env's values rather than reset to RewardParams defaults."""
+    from carla_ppo_tpu.envs import track as track_mod
+    from carla_ppo_tpu.envs.types import EnvParams
+
+    base = EnvParams(
+        track=track_mod.make_lap_track(seed=0, props=False),
+        reward_fn="reward_traffic_add",
+    )
+    base = base.replace(reward=base.reward.replace(max_distance=jnp.float32(7.7)))
+    settings = TrainerSettings(
+        model_name="t_ov",
+        models_root=str(tmp_path),
+        num_iterations=1,
+        eval_interval=0,
+        reward_min_speed=31.0,
+        pass_bonus=30.0,
+        blocked_scale=0.25,
+    )
+    config = ppo.PPOConfig(horizon=4, num_envs=2, num_minibatches=1)
+    trainer = Trainer(settings, config, env_params=base)
+    rp = trainer.env_params.reward
+    assert float(rp.min_speed) == pytest.approx(31.0)
+    assert float(rp.pass_bonus) == pytest.approx(30.0)
+    assert float(rp.blocked_scale) == pytest.approx(0.25)
+    # Non-overridden fields compose: the caller's 7.7 survives.
+    assert float(rp.max_distance) == pytest.approx(7.7)
+    trainer.close()
