@@ -286,3 +286,37 @@ def test_dp_with_reward_normalization(setup):
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_collective_census_matches_gradient_payload(setup):
+    """The jaxpr psum census (benchmarks/multichip_model.py) must equal the
+    analytic expectation: every gradient leaf is all-reduced once per
+    minibatch update (num_epochs x num_minibatches), plus only KB-scale
+    scalar/statistic psums on top. This is the arithmetic behind the
+    published v5e-8 ICI-time model - if the dp program ever grows an
+    accidental extra tensor collective (or drops the gradient psum), this
+    pins it."""
+    from benchmarks.multichip_model import collective_census
+
+    env_params, model, _, _, envs = setup
+    config = ppo.PPOConfig(horizon=4, num_envs=16)  # production 3x4 updates
+    ts = ppo.create_train_state(
+        model, config, vector_obs_dim(), jax.random.PRNGKey(0)
+    )
+    mesh = make_mesh(8)
+    ts = train_dp.replicate(ts, mesh)
+    envs8 = train_dp.shard_env_batch(envs, mesh)
+    fn = train_dp.make_dp_train_iteration(mesh, model, config, env_params)
+
+    total_bytes, launches, _ = collective_census(fn, ts, envs8)
+    param_bytes = sum(
+        int(np.prod(l.shape)) * np.dtype(l.dtype).itemsize
+        for l in jax.tree.leaves(ts.params)
+    )
+    updates = config.num_epochs * config.num_minibatches
+    grad_payload = updates * param_bytes
+    assert total_bytes >= grad_payload, (total_bytes, grad_payload)
+    # Non-gradient psums (advantage moments, metric means, KL) are scalars
+    # and tiny vectors - bound them at 64 KB/iteration.
+    assert total_bytes - grad_payload < 65536, (total_bytes, grad_payload)
+    assert launches > updates
