@@ -159,7 +159,7 @@ def main():
 
     # --- composite on a fixed ground frame ----------------------------------
     flat0 = jax.jit(
-        lambda s: RP.render_batch_pallas_v5(s, params, cam, group=8)
+        lambda s: RP.render_batch_pallas_v5(s, params, cam, group=G)
     )(states)
 
     @jax.jit

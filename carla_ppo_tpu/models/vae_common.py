@@ -38,8 +38,10 @@ def model_dir_name(
     exactly like the reference ("seg" = trained against segmentation maps).
     A 1-channel source (a seg->seg autoencoder, our extension - the
     reference only ever encodes RGB) additionally gets a "from_seg_"
-    prefix so the configuration round-trips through parse_model_dir."""
-    prefix = "seg_" if source == "seg" else ""
+    prefix so the configuration round-trips through parse_model_dir.
+    RGB targets carry the reference's literal "rgb_" prefix (its shipped
+    dir: vae/models/rgb_bce_cnn_zdim64_beta1_kl_tolerance0.0_data)."""
+    prefix = "seg_" if source == "seg" else "rgb_"
     if source_depth == 1:
         prefix = "from_seg_" + prefix
     beta_s = int(beta) if float(beta).is_integer() else beta

@@ -121,8 +121,13 @@ def test_model_dir_name_roundtrip():
     # for the target's "seg_" marker (train_vae --source seg
     # --use_segmentation_as_target 0).
     name2 = model_dir_name("rgb", "bce", "cnn", 64, 1.0, 0.0, source_depth=1)
-    assert name2.startswith("from_seg_bce_")
+    assert name2.startswith("from_seg_rgb_bce_")
     assert parse_model_dir(name2) == (64, "cnn", 3, 1)
+    # RGB->RGB reconstruction: the reference's literal shipped dir name
+    # (reference README.md:123-128, vae/models/rgb_bce_cnn_...).
+    name3 = model_dir_name("rgb", "bce", "cnn", 64, 1.0, 0.0)
+    assert name3 == "rgb_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
+    assert parse_model_dir(name3) == (64, "cnn", 3, 3)
 
 
 def test_timeit_device_and_sync_fetch():
