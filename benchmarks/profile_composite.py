@@ -164,6 +164,28 @@ def main():
 
     report("full", timed(scan_full, flat0, states))
 
+    # --- Pallas composite kernel variants (U/V tables in VMEM) --------------
+    for variant in ("loop", "reduce3d", "rows"):
+        def make(variant=variant):
+            @jax.jit
+            def scan_pallas(flat, st):
+                def body(f, _):
+                    cls = RP.composite_billboards_pallas(
+                        f, st, params, cam, variant=variant
+                    )
+                    bump = cls.sum(dtype=jnp.int32) & 1
+                    return f.at[0, 0].add(bump), cls[0, 0]
+
+                f, last = jax.lax.scan(body, flat, None, length=T)
+                return f.sum() + last.sum()
+
+            return scan_pallas
+
+        try:
+            report(f"pallas_{variant}", timed(make(), flat0, states))
+        except Exception as e:  # Mosaic lowering limits differ per variant
+            print(f"pallas_{variant}: FAILED {type(e).__name__}")
+
     print(json.dumps({"metric": "composite_decomposition_ms",
                       "envs": B, "value": results}))
 

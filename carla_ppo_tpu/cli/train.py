@@ -172,6 +172,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--block_range", type=float, default=None,
                         help="override RewardParams.block_range (m ahead "
                              "that counts as blocked)")
+    parser.add_argument("--low_speed_threshold", type=float, default=None,
+                        help="override RewardParams.low_speed_threshold "
+                             "(km/h; default 1.0): terminate whenever speed "
+                             "drops below this after the 5 s grace period. "
+                             "Traffic configs set it ABOVE --npc_max_speed "
+                             "so cruising behind traffic ends the episode - "
+                             "the structural fix for the pacing exploit "
+                             "(additive per-step reward pays slow finishers "
+                             "more; see TrainerSettings.low_speed_threshold)")
     parser.add_argument("--stall_timeout", type=float, default=0.0,
                         help="exit with code 17 when no iteration completes "
                              "for this many seconds (wedged-RPC recovery; "
@@ -355,6 +364,7 @@ def main(argv=None) -> None:
         npc_keep_gain=params["npc_keep_gain"],
         blocked_scale=params["blocked_scale"],
         block_range=params["block_range"],
+        low_speed_threshold=params["low_speed_threshold"],
         reward_min_speed=params["reward_min_speed"],
         reward_target_speed=params["reward_target_speed"],
         reward_max_speed=params["reward_max_speed"],

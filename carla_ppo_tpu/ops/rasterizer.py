@@ -495,6 +495,48 @@ def _visible_props(
     return b_pos, b_cls, b_hgt, b_hwd
 
 
+def _billboard_scalars(
+    state: EnvState, params: EnvParams, cam: CameraConfig
+) -> Tuple[Array, Array, Array, Array, Array, Array]:
+    """Per-candidate screen-space scalars: (u_c, hw_pix, v_top, v_bot,
+    key, valid), each [N].
+
+    The shared front half of the billboard test: project every candidate's
+    center column, clamped pixel half-width, and row span, and pack
+    depth+class into the int32 key (see _billboard_tables for the key
+    encoding). Split out so the Pallas composite kernel can consume the
+    scalars directly and build its U/V coverage tables in VMEM - the XLA
+    path (_billboard_tables) builds them from the same values with the
+    same ops, which is what keeps the two composites bit-identical."""
+    import math
+
+    b_pos, b_cls, b_hgt, b_hwd = _visible_props(state, params, cam)
+
+    H, W, focal = cam.height, cam.width, cam.focal
+    yaw = state.vehicle.yaw
+    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
+    right = jnp.stack([jnp.sin(yaw), -jnp.cos(yaw)])
+    cam_xy = state.vehicle.pos + fwd * cam.mount_forward
+    tanp = math.tan(math.radians(cam.pitch_deg))
+
+    rel = b_pos - cam_xy[None, :]  # [N, 2]
+    f = rel @ fwd  # forward distance
+    l = rel @ right  # rightward offset
+    valid = jnp.logical_and(b_cls != int(SegClass.NONE), f > 0.5)
+    f_safe = jnp.maximum(f, 0.5)
+    u_c = W / 2.0 + focal * l / f_safe  # [N]
+    # Thin verticals (poles, sign posts) must stay sampleable at distance:
+    # clamp the projected half-width to half a pixel.
+    hw_pix = jnp.maximum(focal * b_hwd / f_safe, 0.5)
+    v_bot = H / 2.0 - focal * ((0.0 - cam.mount_height) / f_safe - tanp)
+    v_top = H / 2.0 - focal * ((b_hgt - cam.mount_height) / f_safe - tanp)
+    key_n = jnp.bitwise_or(
+        jnp.bitwise_and(jax.lax.bitcast_convert_type(f_safe, jnp.int32), ~15),
+        b_cls,
+    )  # [N]
+    return u_c, hw_pix, v_top, v_bot, key_n, valid
+
+
 def _billboard_tables(
     state: EnvState, params: EnvParams, cam: CameraConfig
 ) -> Tuple[Array, Array]:
@@ -519,35 +561,12 @@ def _billboard_tables(
     comparisons on the same values, and a no-candidate pixel resolves to
     a key whose depth bits are >= +inf either way (visible stays False).
     """
-    import math
-
-    b_pos, b_cls, b_hgt, b_hwd = _visible_props(state, params, cam)
-
-    H, W, focal = cam.height, cam.width, cam.focal
-    yaw = state.vehicle.yaw
-    fwd = jnp.stack([jnp.cos(yaw), jnp.sin(yaw)])
-    right = jnp.stack([jnp.sin(yaw), -jnp.cos(yaw)])
-    cam_xy = state.vehicle.pos + fwd * cam.mount_forward
-    tanp = math.tan(math.radians(cam.pitch_deg))
-
-    rel = b_pos - cam_xy[None, :]  # [N, 2]
-    f = rel @ fwd  # forward distance
-    l = rel @ right  # rightward offset
-    valid = jnp.logical_and(b_cls != int(SegClass.NONE), f > 0.5)
-    f_safe = jnp.maximum(f, 0.5)
-    u_c = W / 2.0 + focal * l / f_safe  # [N]
-    # Thin verticals (poles, sign posts) must stay sampleable at distance:
-    # clamp the projected half-width to half a pixel.
-    hw_pix = jnp.maximum(focal * b_hwd / f_safe, 0.5)
-    v_bot = H / 2.0 - focal * ((0.0 - cam.mount_height) / f_safe - tanp)
-    v_top = H / 2.0 - focal * ((b_hgt - cam.mount_height) / f_safe - tanp)
-
+    u_c, hw_pix, v_top, v_bot, key_n, valid = _billboard_scalars(
+        state, params, cam
+    )
+    H, W = cam.height, cam.width
     u = jnp.arange(W, dtype=jnp.float32) + 0.5  # [W]
     v = jnp.arange(H, dtype=jnp.float32) + 0.5  # [H]
-    key_n = jnp.bitwise_or(
-        jnp.bitwise_and(jax.lax.bitcast_convert_type(f_safe, jnp.int32), ~15),
-        b_cls,
-    )  # [N]
     imax = jnp.int32(2**31 - 1)
     U = jnp.where(
         valid[:, None]

@@ -6,8 +6,8 @@ The ground rasterization (raycast -> nearest-centerline Frenet search ->
 Measured on a v5e at B=1024 rich-scene envs: 4.89 ms (v4) vs 5.43 ms (v3d)
 vs 7.34 ms for the XLA ground pass - with BIT-IDENTICAL output (including
 asymmetric dual-lane widths; the billboard/NPC composite stays in XLA
-either way - folding it in-kernel was costed at ~10 VPU ops per
-candidate-pixel vs the factorized XLA contraction's 2, a regression).
+either way - round 5 BUILT the in-kernel composite and measured it, see
+composite_billboards_pallas below: a negative, 3.45 ms vs XLA's 1.17).
 
 How the round-1/2 layout trap was broken (kept here as the design record -
 the v1/v2 kernels that lost to XLA by 6-12x are deleted; see git history):
@@ -858,3 +858,216 @@ def render_batch_pallas_v3d(
     blocks = [jnp.full((B, n_sky * W), int(SegClass.NONE), jnp.int32)]
     blocks += [out[:, 0, o:o + P] for o, P in pixel_slices]
     return jnp.concatenate(blocks, axis=1).reshape(B, cam.height, W)
+
+
+# ---------------------------------------------------------------------------
+# Billboard composite kernel: the factorized U/V min-max contraction with
+# both coverage tables resident in VMEM.
+#
+# The XLA flat composite (rasterizer._composite_billboards_flat) fuses table
+# CONSTRUCTION into the [B, N, H*W] contraction - at every candidate-pixel it
+# re-evaluates the U/V predicates from the per-candidate scalars (~8 VPU ops)
+# because keeping materialized [N, W]/[N, H] tables live across a 12800-wide
+# reduction is not something the fuser does. Round-5 decomposition
+# (benchmarks/profile_composite.py): the same tables PREBUILT in HBM make the
+# contraction ~2.4x SLOWER (3.0 ms vs 1.23) - reading them per candidate-pixel
+# is bandwidth-bound. The hypothesis was that a Pallas kernel escapes the
+# dilemma: build U [N, W] and V^T [H, N] ONCE per env in VMEM (~60 KB), then
+# contract with the pure 2-op inner loop (broadcast max + running min per
+# candidate) - the composite's analytic speed-of-light (~0.44 ms).
+#
+# MEASURED NEGATIVE (round 5, kept as the design record; production stays on
+# the XLA composite). B=1024 in-scan, quiet chip:
+#     XLA fused composite      1.17 ms
+#     pallas variant "loop"    3.45 ms  (per-candidate max+min, N lane
+#                                        extractions from V^T)
+#     pallas variant "rows"    3.63 ms  (per-row [N, W] max + sublane min
+#                                        reduce, H lane extractions)
+#     pallas variant "reduce3d"  fails to lower (Mosaic, [N, H, W] reduce)
+# The two working variants bracket the lowering space (many narrow ops vs
+# fewer wide ops with cross-sublane reduces) and land within 5% of each
+# other at ~3x WORSE than XLA - the (80, 160)-shaped op stream issues at
+# ~1 vreg-op/cycle (lane dim padded 160->256, broadcast + reduce overhead),
+# while the XLA fusion streams the whole contraction at near-VPU-peak in
+# its lane-perfect [B, N, 12800] form. The factorization's 2-op bound only
+# wins if the engine sustains peak on small tiles; Mosaic does not here.
+# Parity: test_composite_kernel_variants_bit_identical pins all variants
+# bit-identical to the XLA composite (with and without NPC slots).
+#
+# Layout notes (for future attempts): blocks are [group, H, W] - [B, H*W]
+# ground frames reshape to [B, H, W] for free (same HBM bytes); candidate
+# scalars arrive TWICE, pre-transposed in XLA (zero-cost there):
+# candidates-in-sublanes for building U (column slices [N, 1]),
+# candidates-in-lanes for building V^T (row slices [1, N]) - Mosaic never
+# transposes.
+# ---------------------------------------------------------------------------
+
+
+def _make_composite_kernel(
+    group: int, Npad: int, H: int, W: int, variant: str = "loop"
+):
+    import numpy as np
+
+    # Plain numpy scalars: jnp constants would be captured tracers.
+    imax = np.int32(2**31 - 1)
+    imin = np.int32(-(2**31))
+
+    def kernel(rows_ref, cols_ref, depth_ref, ground_ref, out_ref):
+        for g in range(group):
+            # U [Npad, W]: same predicate, values, and f32 compares as
+            # rasterizer._billboard_tables (bit-identity contract).
+            uc = rows_ref[g, :, 0:1]
+            hw = rows_ref[g, :, 1:2]
+            key = jax.lax.bitcast_convert_type(
+                rows_ref[g, :, 2:3], jnp.int32
+            )
+            ok = rows_ref[g, :, 3:4] > 0.0
+            u = jax.lax.broadcasted_iota(jnp.int32, (Npad, W), 1).astype(
+                jnp.float32
+            ) + 0.5  # Mosaic: integer iota only
+            U = jnp.where(ok & (jnp.abs(u - uc) <= hw), key, imax)
+            # int32 min is exactly associative, so any contraction order
+            # matches the XLA reduce bit-for-bit; the three variants below
+            # differ only in Mosaic lowering shape (profiled in
+            # benchmarks/profile_composite.py).
+            if variant == "loop":
+                # Per-candidate 2-op loop: V^T [H, Npad] built transposed
+                # from the candidates-in-lanes operand; each step extracts
+                # one LANE of V^T (the measured cost driver: 3.5 ms).
+                vtop = cols_ref[g, 0:1, :]
+                vbot = cols_ref[g, 1:2, :]
+                r = jax.lax.broadcasted_iota(
+                    jnp.int32, (H, Npad), 0
+                ).astype(jnp.float32) + 0.5
+                Vt = jnp.where((r >= vtop) & (r <= vbot), imin, imax)
+                best = jnp.maximum(U[0:1, :], Vt[:, 0:1])
+                for n in range(1, Npad):
+                    best = jnp.minimum(
+                        best, jnp.maximum(U[n : n + 1, :], Vt[:, n : n + 1])
+                    )
+            else:
+                # V [Npad, H], candidates in sublanes like U - no lane
+                # extraction anywhere.
+                vtop = rows_ref[g, :, 4:5]
+                vbot = rows_ref[g, :, 5:6]
+                rv = jax.lax.broadcasted_iota(
+                    jnp.int32, (Npad, H), 1
+                ).astype(jnp.float32) + 0.5
+                V = jnp.where((rv >= vtop) & (rv <= vbot), imin, imax)
+                if variant == "reduce3d":
+                    # One 3D reduce; Mosaic schedules the contraction.
+                    best = jnp.min(
+                        jnp.maximum(U[:, None, :], V[:, :, None]), axis=0
+                    )
+                else:  # "rows"
+                    # Per-ROW loop: H wide [Npad, W] ops + a sublane
+                    # reduction, H lane-extractions total (vs Npad*? in
+                    # "loop").
+                    row_mins = [
+                        jnp.min(
+                            jnp.maximum(U, V[:, rr : rr + 1]),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        for rr in range(H)
+                    ]
+                    best = jnp.concatenate(row_mins, axis=0)
+            best_d = jax.lax.bitcast_convert_type(
+                jnp.bitwise_and(best, ~15), jnp.float32
+            )
+            visible = best_d < depth_ref[:, 0:1]  # ground depth: row-static
+            out_ref[g] = jnp.where(
+                visible, jnp.bitwise_and(best, 15), ground_ref[g]
+            )
+
+    return kernel
+
+
+def _prep_candidates(states, params, cam: CameraConfig, tracks=None):
+    """Batched per-candidate scalars, packed in BOTH kernel orientations.
+
+    Returns (rows [B, Npad, 8], cols [B, 8, Npad]) float32:
+      rows[:, n] = (u_c, hw_pix, key-as-f32-bits, valid, 0, 0, 0, 0)
+      cols[:, 0:2] = (v_top, v_bot) with candidates along lanes
+    Pad candidates carry valid=0 - their U row is all INT32_MAX, so they
+    are identity elements of the min contraction.
+    """
+    from carla_ppo_tpu.ops import rasterizer as R
+
+    if tracks is None:
+        sc = jax.vmap(lambda s: R._billboard_scalars(s, params, cam))(states)
+    else:
+        sc = jax.vmap(
+            lambda s, t: R._billboard_scalars(
+                s, params.replace(track=t), cam
+            )
+        )(states, tracks)
+    u_c, hw_pix, v_top, v_bot, key, valid = sc
+    B, N = u_c.shape
+    Npad = -(-N // 8) * 8
+    key_f = jax.lax.bitcast_convert_type(key, jnp.float32)
+    zeros = jnp.zeros_like(u_c)
+    rows = jnp.stack(
+        [u_c, hw_pix, key_f, valid.astype(jnp.float32), v_top, v_bot]
+        + [zeros] * 2,
+        axis=2,
+    )  # [B, N, 8]
+    rows = jnp.pad(rows, ((0, 0), (0, Npad - N), (0, 0)))
+    cols = jnp.stack([v_top, v_bot] + [zeros] * 6, axis=1)  # [B, 8, N]
+    cols = jnp.pad(cols, ((0, 0), (0, 0), (0, Npad - N)))
+    return rows, cols
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "interpret", "group", "variant")
+)
+def composite_billboards_pallas(
+    flat_ground: Array,
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    interpret: bool = False,
+    tracks: "EnvParams | None" = None,
+    group: int = GROUP,
+    variant: str = "loop",
+) -> Array:
+    """Billboard composite over flat [B, H*W] ground frames, in one Pallas
+    dispatch. Bit-identical to rasterizer._composite_billboards_flat (the
+    parity tests assert it); class-only (the RGB path, which also needs
+    depth/sky maps, stays on the XLA composite)."""
+    from carla_ppo_tpu.ops.rasterizer import _row_geometry
+
+    H, W = cam.height, cam.width
+    B = flat_ground.shape[0]
+    assert B % group == 0, (B, group)
+    rows, cols = _prep_candidates(states, params, cam, tracks)
+    Npad = rows.shape[1]
+    _, _, t_rows = _row_geometry(cam)
+    depth_col = jnp.asarray(t_rows, jnp.float32).reshape(H, 1)
+
+    kernel = _make_composite_kernel(group, Npad, H, W, variant)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, Npad, 8), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, 8, Npad), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (group, H, W), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(rows, cols, depth_col, flat_ground.reshape(B, H, W))
+    return out.reshape(B, H * W)

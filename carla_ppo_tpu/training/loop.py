@@ -142,6 +142,18 @@ class TrainerSettings:
     # did NOT defeat pacing (round-4 fine-tunes: 0.0 overtakes at best).
     blocked_scale: Optional[float] = None
     block_range: Optional[float] = None
+    # Speed floor (km/h; RewardParams.low_speed_threshold, stored in m/s).
+    # The round-5 structural anti-pacing lever: with a positive per-step
+    # shaping reward, total return is ~reward_rate x episode LENGTH, so a
+    # slow finisher out-earns a fast one as long as it fits the step budget
+    # - the r5 overtaker run converged to 15 km/h cruising, BELOW the
+    # slowest NPC (never blocked, never passing, 3.00 laps, 0.0 overtakes,
+    # 69k reward vs ~37k for driving the plateau). Reward shaping cannot fix
+    # that ordering; termination can: a floor above npc_max_speed makes
+    # "keep up with traffic or the episode ends" part of the task, so the
+    # only surviving policies overtake. The low-speed grace period
+    # (RewardParams.low_speed_timeout, 5 s) still covers the standing start.
+    low_speed_threshold: Optional[float] = None
     # NPC lane keeping (EnvParams.npc_keep_lat/npc_keep_gain): spring pulling
     # each NPC's lateral wander toward a home offset. Defaults preserve the
     # round-4 free walk; overtaker configs use a keep-right home so a
@@ -216,6 +228,13 @@ class Trainer:
                 pass_bonus=settings.pass_bonus,
                 blocked_scale=settings.blocked_scale,
                 block_range=settings.block_range,
+                # Settings keep the reference's km/h convention; the
+                # RewardParams field is m/s (compared against vehicle.speed).
+                low_speed_threshold=(
+                    settings.low_speed_threshold / 3.6
+                    if settings.low_speed_threshold is not None
+                    else None
+                ),
             ).items()
             if v is not None
         }

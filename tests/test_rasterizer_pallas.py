@@ -267,3 +267,55 @@ def test_v5_rgb_batch_matches_vmapped_render_rgb():
     ref = np.asarray(jax.vmap(lambda s: R.render_rgb(s, params))(states))
     got = np.asarray(R.render_rgb_batch(states, params))
     np.testing.assert_allclose(ref, got, atol=1e-5)
+
+
+def test_composite_kernel_variants_bit_identical():
+    """The Pallas billboard-composite kernel (all variants) is bit-identical
+    to the production XLA flat composite, with and without NPC slots.
+
+    The kernel is a MEASURED NEGATIVE for production (round 5,
+    benchmarks/profile_composite.py: loop 3.45 ms / rows 3.63 ms vs the XLA
+    fused composite's 1.17 ms at B=1024) and is retained as the design
+    record + this parity pin; production stays on
+    rasterizer._composite_billboards_flat."""
+    from carla_ppo_tpu.envs import track as track_mod
+    from carla_ppo_tpu.envs.types import EnvParams
+    from carla_ppo_tpu.ops.rasterizer_pallas import (
+        composite_billboards_pallas,
+    )
+    from carla_ppo_tpu.training import ppo
+
+    for npcs in (0, 3):
+        params = EnvParams(
+            track=track_mod.make_lap_track(seed=0, props=True),
+            num_npcs=npcs,
+            render_npc_billboards=npcs > 0,
+        )
+        states = ppo.init_env_batch(params, GROUP, jax.random.PRNGKey(7))
+
+        def body(s, _):
+            a = jnp.stack(
+                [jnp.zeros(GROUP), jnp.full((GROUP,), 0.7)], axis=1
+            )
+            s2, _o = jax.vmap(
+                lambda ss, aa: lap_env.autoreset_step(ss, aa, params, "vector")
+            )(s, a)
+            return s2, None
+
+        states, _ = jax.lax.scan(body, states, None, length=40)
+        cam = R.CameraConfig()
+        ground = np.random.RandomState(npcs).randint(
+            0, 13, (GROUP, cam.height * cam.width), dtype=np.int32
+        )
+        ground = jnp.asarray(ground)
+        ref = np.asarray(
+            R._composite_billboards_flat(ground, states, params, cam)
+        )
+        for variant in ("loop", "reduce3d", "rows"):
+            got = np.asarray(
+                composite_billboards_pallas(
+                    ground, states, params, cam,
+                    interpret=True, variant=variant,
+                )
+            )
+            np.testing.assert_array_equal(ref, got, err_msg=f"{variant}")

@@ -553,6 +553,7 @@ def test_reward_overrides_compose_with_explicit_env_params(tmp_path):
         reward_min_speed=31.0,
         pass_bonus=30.0,
         blocked_scale=0.25,
+        low_speed_threshold=20.0,
     )
     config = ppo.PPOConfig(horizon=4, num_envs=2, num_minibatches=1)
     trainer = Trainer(settings, config, env_params=base)
@@ -560,6 +561,8 @@ def test_reward_overrides_compose_with_explicit_env_params(tmp_path):
     assert float(rp.min_speed) == pytest.approx(31.0)
     assert float(rp.pass_bonus) == pytest.approx(30.0)
     assert float(rp.blocked_scale) == pytest.approx(0.25)
+    # Settings take km/h (reference convention); the param stores m/s.
+    assert float(rp.low_speed_threshold) == pytest.approx(20.0 / 3.6)
     # Non-overridden fields compose: the caller's 7.7 survives.
     assert float(rp.max_distance) == pytest.approx(7.7)
     trainer.close()
