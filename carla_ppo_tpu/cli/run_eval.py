@@ -46,6 +46,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--obs_fn", type=str, default="vector",
                         help="ground-truth obs variant the agent was trained "
                              "with (vector | vector_npc)")
+    parser.add_argument("--npc_keep_lat", type=float, default=0.0,
+                        help="NPC lane-keeping home offset (matches the "
+                             "overtaker training configs; 0 + gain 0 = the "
+                             "free-wander default)")
+    parser.add_argument("--npc_keep_gain", type=float, default=0.0)
+    # Reward-shape overrides are part of the agent's OBSERVATION contract,
+    # not just its reward: the vector obs normalizes speed by
+    # reward.target_speed (observations.py:67,157), so evaluating a
+    # raised-plateau agent under the default plateau feeds it ~2x-inflated
+    # speed features and it crawls (measured round 5: the floor agent
+    # re-evaled at 13 km/h / 1.03 laps until these flags matched training).
+    parser.add_argument("--reward_min_speed", type=float, default=None)
+    parser.add_argument("--reward_target_speed", type=float, default=None)
+    parser.add_argument("--reward_max_speed", type=float, default=None)
+    parser.add_argument("--low_speed_threshold", type=float, default=None,
+                        help="km/h; the training floor, if any - part of "
+                             "the task semantics for completion metrics")
     parser.add_argument("--reward_fn", type=str,
                         default="reward_speed_centering_angle_multiply")
     parser.add_argument("--seed", type=int, default=0)
@@ -94,6 +111,12 @@ def main(argv=None) -> None:
         seed=params.seed,
         eval_envs=params.num_envs,
         num_npcs=params.num_npcs,
+        npc_keep_lat=params.npc_keep_lat,
+        npc_keep_gain=params.npc_keep_gain,
+        reward_min_speed=params.reward_min_speed,
+        reward_target_speed=params.reward_target_speed,
+        reward_max_speed=params.reward_max_speed,
+        low_speed_threshold=params.low_speed_threshold,
         obs=params.obs,
     )
     config = ppo.PPOConfig(env_kind=params.env, num_envs=params.num_envs,
