@@ -744,6 +744,272 @@ def render_batch_pallas_v5(
     )(win_cols, payload, slab_all)
 
 
+# ---------------------------------------------------------------------------
+# Kernel v6: v5's compute with the WINDOW FETCH + CAMERA ROTATION folded into
+# the kernel. MEASURED NEGATIVE (round 5) - retained, like the v3e/one-hot/
+# composite attempts, as the design record + parity pin; production stays v5.
+#
+# In-scan ground pass, B=1024, same-session A/B on the v5e (bit-identical
+# output all three ways):
+#   v5 (XLA prep + kernel)                 2.34-2.48 ms / 1024 frames
+#   v6 cut 1 (per-stripe [K+8, P] mask)    3.39 ms  (+37%)
+#   v6 cut 2 (fetch-time sentinel mask)    3.21 ms  (+37% vs same-run v5)
+# The masking was NOT the cost (cut 2 removed ~5 full VPU passes per stripe
+# for ~0.2 ms); the remaining gap is attributed to the in-kernel data
+# movement the fold forces: a transposed-LHS dot_general (((0,), (0,)) -
+# the MXU prefers v5's pre-transposed [8, K] payload, which only XLA prep
+# can build, Mosaic has no cheap [K, 8] -> [8, K] transpose), the dynamic
+# sublane slice of the resident table per env, and +8 quantization-slack
+# rows per stripe. The XLA prep it replaces measured only ~0.4 ms inside
+# the scan (RESULTS_round5: ground 2.44 < prep 1.12 + kernel 2.06 -
+# XLA overlaps the gather with the kernel's dispatch), so even a perfect
+# fold could win at most ~15%; these Mosaic constraints cost ~1 ms.
+# A first DMA-based cut died on Mosaic's lane alignment ("slice shape
+# along dimension 1 must be aligned to tiling (128)") - window rows are
+# 8 lanes wide; per-env DMAs cannot slice below the 128-lane tile.
+#
+# The design (kept live under test_rasterizer_pallas v6 parity pins):
+#   1. A WRAP-BAKED doubled table (rows j -> wrapped(j - window_behind),
+#      loop-mod / open-clamp identical to wp_gather) built in XLA from
+#      params only - scan-INVARIANT, so XLA hoists it out of the rollout
+#      scan and the per-step gather disappears from the program entirely.
+#      The table rides into the kernel as a constant-index VMEM block
+#      (~1.2 MB), resident across grid programs.
+#   2. Per-env ALIGNED dynamic sublane slices of that block. Mosaic rejects
+#      lane-dim slicing below the 128 tile (the round-5 DMA variant died on
+#      "slice shape along dimension 1 must be aligned to tiling (128)"), so
+#      the fetch stays row-oriented and the start is quantized DOWN to a
+#      multiple of 8: rows [s8, s8 + K0 + 8) cover the logical window
+#      [s, s + K0) at offset d = s - s8 in [0, 8).
+#   3. The rotation (v5's `rotate`, bit-same formula and f32 op order) on
+#      [K0+8, 1] columns in-kernel - O(K) VPU work per env. The payload is
+#      built COLUMN-oriented [K0+8, 8] (v5 pre-transposes in XLA; in-kernel
+#      that transpose is unavailable) and contracted with the one-hot via a
+#      transposed-LHS dot_general (((0,), (0,))), which the MXU lowers
+#      natively.
+#   4. Bit-parity with v5 under the shift: each stripe's candidate rows are
+#      masked to physical [d, d + K) (= logical [0, K)); masked rows take
+#      d2 = 1e30 so they never win the min or the first-match tie-break
+#      (physical index order = logical order + d, so the winner is v5's),
+#      and the kidx payload channel carries (idx0 - d) + r = idx0 + k
+#      exactly (small integers in f32). Parity asserted by
+#      test_rasterizer_pallas (v6 == v5 on fresh/driven/wrap/open batches).
+# XLA prep shrinks to O(B) pose scalars. Shared-track batches only (the
+# table bake is per-track); banked batches keep v5. reference: the CARLA
+# camera this replaces (carla_lap_env.py:175).
+# ---------------------------------------------------------------------------
+
+
+def _prep_pose_v6(states, params, cam: CameraConfig):
+    """O(B) XLA prep for v6: (starts [B] i32, table2 [M8, 8] f32,
+    pose [B, 8] f32) with the wrap baked into the doubled table (see the
+    v6 block comment). M8 is padded so any aligned-down start plus the
+    8-row quantization slack stays in bounds."""
+    from carla_ppo_tpu.ops.rasterizer import _window_table
+
+    track = params.track
+    table = _window_table(track)  # [Ncap, 6] x, y, fx, fy, lw, rw
+    ncap = table.shape[0]
+    behind = cam.window_behind
+    kp = cam.window + 8
+    m8 = -(-max(2 * ncap + behind, ncap + behind + kp + 8) // 8) * 8
+    j = jnp.arange(m8, dtype=jnp.int32) - behind
+    wrapped = jnp.where(
+        track.is_loop,
+        jnp.mod(j, track.length),
+        jnp.clip(j, 0, track.length - 1),
+    )
+    t2 = jnp.pad(jnp.take(table, wrapped, axis=0), ((0, 0), (0, 2)))
+    idx0 = states.waypoint_idx - behind  # [B] i32, unmodded (s-coordinate)
+    starts = (
+        jnp.where(track.is_loop, jnp.mod(idx0, track.length), idx0) + behind
+    ).astype(jnp.int32)
+    yaw = states.vehicle.yaw
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cam_x = states.vehicle.pos[:, 0] + cy * cam.mount_forward
+    cam_y = states.vehicle.pos[:, 1] + sy * cam.mount_forward
+    zeros = jnp.zeros_like(cy)
+    pose = jnp.stack(
+        [cy, sy, cam_x, cam_y, idx0.astype(jnp.float32), zeros, zeros, zeros],
+        axis=1,
+    )
+    return starts, t2, pose
+
+
+def _make_kernel_v6(
+    stripe_plan, style: RoadStyle, group: int, sky_px: int, K0: int
+):
+    """v5's kernel body behind an in-kernel window fetch + rotation."""
+    KP = K0 + 8  # fetched rows: logical window + quantization slack
+
+    def kernel(starts_ref, t2_ref, pose_ref, slab_ref, out_ref,
+               wcol_sc, pay_sc, sc_ref):
+        i = pl.program_id(0)
+
+        # Per-env window fetch (aligned dynamic sublane slice of the
+        # resident table) + rotation into the camera frame (v5's
+        # _prep_windows.rotate, bit-same formula and f32 op order).
+        ds = []
+        for g in range(group):
+            s = starts_ref[i * group + g]
+            s8 = (s // 8) * 8
+            d = s - s8  # [0, 8) physical offset of logical row 0
+            ds.append(d)
+            win = t2_ref[pl.ds(s8, KP), :]  # [KP, 8]
+            cy = pose_ref[g:g + 1, 0:1]
+            sy = pose_ref[g:g + 1, 1:2]
+            camx = pose_ref[g:g + 1, 2:3]
+            camy = pose_ref[g:g + 1, 3:4]
+            idx0f = pose_ref[g:g + 1, 4:5]
+            x = win[:, 0:1]
+            y = win[:, 1:2]
+            fx = win[:, 2:3]
+            fy = win[:, 3:4]
+            wlx = x - camx
+            wly = y - camy
+            wpx = cy * wlx + sy * wly
+            wpy = -sy * wlx + cy * wly
+            fpx = cy * fx + sy * fy
+            fpy = -sy * fx + cy * fy
+            # Mask rows outside the logical window [d, d + K0) ONCE at
+            # fetch time with a far coordinate sentinel: their d2 becomes
+            # ~2e30 (finite - no NaN through 0*payload later) so they can
+            # never win a stripe's min. This keeps the per-stripe distance
+            # block mask-free ([KP, 1] ops here vs [K+8, P] passes there -
+            # the first v6 cut paid ~5 extra full passes per stripe and
+            # measured 36% SLOWER than v5; this is the fix).
+            rio = jax.lax.broadcasted_iota(jnp.int32, (KP, 1), 0)
+            head_valid = jnp.logical_and(rio >= d, rio < d + K0)
+            wcol_sc[g, :, 0:1] = jnp.where(head_valid, wpx, 1e15)
+            wcol_sc[g, :, 1:2] = jnp.where(head_valid, wpy, 1e15)
+            pay_sc[g, :, 0:1] = fpx
+            pay_sc[g, :, 1:2] = fpy
+            pay_sc[g, :, 2:3] = fpy * wpx - fpx * wpy
+            pay_sc[g, :, 3:4] = -(wpx * fpx + wpy * fpy)
+            # kidx: (idx0 - d) + r == idx0 + k exactly (ints in f32).
+            # Mosaic: tpu.iota must be integer-typed; cast after.
+            riota = jax.lax.broadcasted_iota(
+                jnp.int32, (KP, 1), 0
+            ).astype(jnp.float32)
+            pay_sc[g, :, 4:5] = (idx0f - d.astype(jnp.float32)) + riota
+            pay_sc[g, :, 5:6] = win[:, 4:5]
+            pay_sc[g, :, 6:7] = win[:, 5:6]
+
+        if sky_px:
+            out_ref[:, 0:sky_px] = jnp.full(
+                (group, sky_px), int(SegClass.NONE), jnp.int32
+            )
+        for K, off, P in stripe_plan:
+            KPs = K + 8
+            a1 = slab_ref[0:1, off:off + P]
+            b1 = slab_ref[1:2, off:off + P]
+            for g in range(group):
+                d = ds[g]
+                wx = wcol_sc[g, 0:KPs, 0:1]
+                wy = wcol_sc[g, 0:KPs, 1:2]
+                dx = a1 - wx
+                dy = b1 - wy
+                d2f = dx * dx + dy * dy
+                # Physical rows [0, d) carry the fetch-time sentinel; only
+                # the 8-row tail [K, K+8) needs a per-stripe exclusion
+                # (logical rows >= K when K < window): one [8, P] where.
+                rrt = jax.lax.broadcasted_iota(jnp.int32, (8, P), 0) + K
+                d2t = jnp.where(rrt < d + K, d2f[K:KPs, :], 1e30)
+                d2 = jnp.concatenate([d2f[0:K, :], d2t], axis=0)
+                rr = jax.lax.broadcasted_iota(jnp.int32, (KPs, P), 0)
+                d2_min = jnp.min(d2, axis=0, keepdims=True)
+                nearest = jnp.min(
+                    jnp.where(d2 == d2_min, rr, KPs), axis=0, keepdims=True
+                )
+                onehot = (rr == nearest).astype(jnp.float32)
+                near = jax.lax.dot_general(
+                    pay_sc[g, 0:KPs, :], onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [8, P]: fx, fy, c_lat, c_along, kidx, lw, rw, pad
+                for c in range(7):
+                    r = c * group + g
+                    sc_ref[r:r + 1, 0:P] = near[c:c + 1, :]
+                r = 7 * group + g
+                sc_ref[r:r + 1, 0:P] = d2_min
+            n_fx = sc_ref[0:group, 0:P]
+            n_fy = sc_ref[group:2 * group, 0:P]
+            c_lat = sc_ref[2 * group:3 * group, 0:P]
+            c_along = sc_ref[3 * group:4 * group, 0:P]
+            kidx = sc_ref[4 * group:5 * group, 0:P]
+            lw = sc_ref[5 * group:6 * group, 0:P]
+            rw = sc_ref[6 * group:7 * group, 0:P]
+            d2m = sc_ref[7 * group:8 * group, 0:P]
+            lat = b1 * n_fx - a1 * n_fy + c_lat
+            s = kidx + a1 * n_fx + b1 * n_fy + c_along
+            dist = jnp.sqrt(jnp.maximum(d2m, 0.0))
+            cls = _classify_block(lat, s, dist, lw, rw, style)
+            out_ref[:, sky_px + off:sky_px + off + P] = cls
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "style", "interpret", "group")
+)
+def render_batch_pallas_v6(
+    states: EnvState,
+    params: EnvParams,
+    cam: CameraConfig = CameraConfig(),
+    style: RoadStyle = RoadStyle(),
+    interpret: bool = False,
+    group: int = GROUP,
+) -> Array:
+    """[B, H*W] int32 flat seg frames - v5 with the window fetch + rotation
+    folded into the kernel (see the v6 block comment). Output layout and
+    values match render_batch_pallas_v5; shared-track batches only."""
+    layout = _stripe_layout_v5(cam)
+    assert layout is not None, "camera geometry breaks 4-row alignment"
+    plan, slab_np, sky_px = layout
+    starts, t2, pose = _prep_pose_v6(states, params, cam)
+    B = pose.shape[0]
+    assert B % group == 0, (B, group)
+    slab_all = jnp.asarray(slab_np)
+    HW = cam.height * cam.width
+    Pmax = max(p for _, _, p in plan)
+    K0 = cam.window
+    M8 = t2.shape[0]
+
+    kernel = _make_kernel_v6(plan, style, group, sky_px, K0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (M8, 8), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (group, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2, slab_np.shape[1]), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, HW), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group, K0 + 8, 2), jnp.float32),
+            pltpu.VMEM((group, K0 + 8, 8), jnp.float32),
+            pltpu.VMEM((8 * group, Pmax), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, HW), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, t2, pose, slab_all)
+
+
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "style", "interpret"))
 def render_batch_pallas_v3d(
     states: EnvState,

@@ -133,6 +133,47 @@ def test_row_stripes_match_full_window(lap_params):
     assert (a == b).mean() > 0.999
 
 
+def test_row_stripes_match_at_sharpest_curvature(lap_params):
+    """Round-4 advisor item 1: the finer per-stripe K ladder removes slack,
+    and a single-pose statistical bound could hide boundary misses at high
+    curvature. Park the camera exactly AT the track's sharpest bends (where
+    a row's nearest waypoint is most likely to fall outside a narrowed
+    stripe window) plus a dense pose sweep, and require per-frame striped ==
+    full-window agreement at >= 99.9% with a tight global bound."""
+    import dataclasses
+
+    trk = lap_params.track
+    fwd = np.asarray(trk.fwd)
+    N = int(trk.length)
+    yaw = np.arctan2(fwd[:N, 1], fwd[:N, 0])
+    dyaw = np.abs((np.diff(yaw) + np.pi) % (2 * np.pi) - np.pi)
+    sharp = np.argsort(dyaw)[-8:]  # 8 highest-curvature waypoints
+    sweep = (np.arange(8) * (N // 8)) % N  # plus an even track sweep
+    wps = np.concatenate([sharp, sweep]).astype(np.int32)
+
+    keys = jax.random.split(jax.random.PRNGKey(4), len(wps))
+    states = jax.vmap(lambda k: lap_env.reset(lap_params, k))(keys)
+    pos = jnp.asarray(np.asarray(trk.pos)[wps], jnp.float32)
+    yaws = jnp.asarray(yaw[wps], jnp.float32)
+    states = dataclasses.replace(
+        states,
+        waypoint_idx=jnp.asarray(wps),
+        vehicle=states.vehicle.replace(pos=pos, yaw=yaws),
+    )
+    striped = np.asarray(
+        R.render_batch(states, lap_params, R.CameraConfig(row_stripes=True))
+    )
+    full = np.asarray(
+        R.render_batch(states, lap_params, R.CameraConfig(row_stripes=False))
+    )
+    per_frame = (striped == full).reshape(len(wps), -1).mean(axis=1)
+    assert per_frame.min() >= 0.999, (
+        f"stripe boundary miss at wp={wps[int(per_frame.argmin())]}: "
+        f"{per_frame.min():.6f}"
+    )
+    assert (striped == full).mean() >= 0.9999
+
+
 def test_render_batch(lap_params):
     B = 4
     keys = jax.random.split(jax.random.PRNGKey(0), B)

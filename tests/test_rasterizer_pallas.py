@@ -269,6 +269,86 @@ def test_v5_rgb_batch_matches_vmapped_render_rgb():
     np.testing.assert_allclose(ref, got, atol=1e-5)
 
 
+def test_v6_flat_matches_v5(lap_params, batch):
+    """v6 (window fetch + camera rotation folded into the kernel behind a
+    double-buffered DMA) is bit-identical to v5 on a fresh reset batch."""
+    from carla_ppo_tpu.ops.rasterizer_pallas import (
+        render_batch_pallas_v5,
+        render_batch_pallas_v6,
+    )
+
+    v5 = np.asarray(render_batch_pallas_v5(batch, lap_params, interpret=True))
+    v6 = np.asarray(render_batch_pallas_v6(batch, lap_params, interpret=True))
+    assert (v5 == v6).mean() == 1.0
+
+
+def test_v6_wrap_boundary_scattered(lap_params):
+    """v6's wrap-baked doubled table reproduces v5's per-step modular gather
+    at every loop-track corner: idx < window_behind (behind-window wraps
+    backward) and idx near length-1 (ahead-window wraps forward)."""
+    import dataclasses
+
+    from carla_ppo_tpu.ops.rasterizer_pallas import (
+        render_batch_pallas_v5,
+        render_batch_pallas_v6,
+    )
+
+    N = int(lap_params.track.length)
+    behind = R.CameraConfig().window_behind
+    keys = jax.random.split(jax.random.PRNGKey(11), GROUP)
+    states = jax.vmap(lambda k: lap_env.reset(lap_params, k))(keys)
+    idx = jnp.asarray(
+        [0, 1, behind - 1, behind, N // 2, N - 2, N - 1, 7 * N // 8],
+        jnp.int32,
+    )
+    states = dataclasses.replace(states, waypoint_idx=idx)
+    v5 = np.asarray(render_batch_pallas_v5(states, lap_params, interpret=True))
+    v6 = np.asarray(render_batch_pallas_v6(states, lap_params, interpret=True))
+    assert (v5 == v6).mean() == 1.0
+
+
+def test_v6_open_track_clamp():
+    """On a non-loop (route) track the baked table's open-clamp rows equal
+    v5's clamped gather, including waypoint_idx < window_behind (the
+    behind-window saturates at row 0, not a wrap)."""
+    import dataclasses
+
+    from carla_ppo_tpu.envs import route_env, route_planner
+    from carla_ppo_tpu.ops.rasterizer_pallas import (
+        render_batch_pallas_v5,
+        render_batch_pallas_v6,
+    )
+
+    town = route_planner.make_town(seed=0)
+    bank = route_planner.make_route_bank(
+        town, n_routes=2, capacity=1024, seed=0
+    )
+    params = route_env.route_env_params(bank)
+    trk = route_env.route_track(params.track, jnp.int32(0))
+    p0 = params.replace(track=trk)
+    assert not bool(trk.is_loop)
+    state = route_env.reset(params, jax.random.PRNGKey(0))
+    L = int(np.asarray(trk.length))
+    behind = R.CameraConfig().window_behind
+    idx = jnp.asarray(
+        [0, 1, behind - 1, behind, L // 2, L - 2, L - 1, L // 3], jnp.int32
+    )
+    pos = jnp.asarray(np.asarray(trk.pos)[np.asarray(idx)], jnp.float32)
+    fwd = np.asarray(trk.fwd)[np.asarray(idx)]
+    yaw = jnp.asarray(np.arctan2(fwd[:, 1], fwd[:, 0]), jnp.float32)
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (GROUP,) + x.shape), state
+    )
+    batch = dataclasses.replace(
+        batch,
+        waypoint_idx=idx,
+        vehicle=batch.vehicle.replace(pos=pos, yaw=yaw),
+    )
+    v5 = np.asarray(render_batch_pallas_v5(batch, p0, interpret=True))
+    v6 = np.asarray(render_batch_pallas_v6(batch, p0, interpret=True))
+    assert (v5 == v6).mean() == 1.0
+
+
 def test_composite_kernel_variants_bit_identical():
     """The Pallas billboard-composite kernel (all variants) is bit-identical
     to the production XLA flat composite, with and without NPC slots.
