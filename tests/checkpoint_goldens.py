@@ -35,6 +35,7 @@ RGB_LATENT_DIR = "models/rgb_latent_pretrained"
 VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
 DEPROP_VAE_DIR = "vae/models/from_seg_seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
 RGB_DEPROP_VAE_DIR = "vae/models/seg_bce_cnn_zdim64_beta1_kl_tolerance0.0_deprop_data"
+RGB_RECON_VAE_DIR = "vae/models/rgb_bce_cnn_zdim64_beta1_kl_tolerance0.0_data"
 
 
 def synthetic_frame(shape) -> jnp.ndarray:
@@ -224,6 +225,13 @@ COMPUTE_FNS = {
     ),
     "rgb_deprop_vae": lambda repo_root=".": compute_vae_outputs(
         repo_root, RGB_DEPROP_VAE_DIR
+    ),
+    # Round 5: the reference's literal rgb->rgb reconstruction artifact
+    # (its vae/models/rgb_bce_cnn_zdim64_..., README.md:123-128) - source ==
+    # target == shaded pseudo-RGB (benchmarks/train_deprop_vae.py --source
+    # rgb --target input; dataset generator + seed pinned in dataset.json).
+    "rgb_recon_vae": lambda repo_root=".": compute_vae_outputs(
+        repo_root, RGB_RECON_VAE_DIR
     ),
 }
 

@@ -36,7 +36,8 @@ def _assert_close(actual, expected, rtol=1e-5, atol=1e-5):
     "name",
     ["lap_agent", "mixed_agent", "pixel_agent", "latent_agent",
      "route_latent_agent", "traffic_agent", "pixel_turnkey_agent",
-     "rgb_latent_agent", "seg_vae", "deprop_vae", "rgb_deprop_vae"],
+     "rgb_latent_agent", "seg_vae", "deprop_vae", "rgb_deprop_vae",
+     "rgb_recon_vae"],
 )
 def test_checkpoint_restores_and_matches_golden(name):
     goldens = _goldens()
