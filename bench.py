@@ -27,6 +27,7 @@ driver-captured output.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import statistics
 import time
@@ -296,18 +297,25 @@ def main() -> None:
     # --- pixel training (config 4, the flagship beyond-reference pipeline).
     # Round-4 verdict item 3: this was the ONE pipeline with no pinned
     # throughput anywhere, so it could regress silently. Pinned config =
-    # the turnkey recipe's program shape: rich scene, joint-VAE aux on
-    # (input reconstruction), 1024 envs, horizon 128.
+    # rich scene, joint-VAE aux on (input reconstruction), 1024 envs,
+    # horizon 128, 16 minibatches. The minibatch count is a MEMORY
+    # constraint, not a tuning choice: the joint-VAE update materializes
+    # conv activations for every frame in the minibatch, and at 1024 envs
+    # the <=8-minibatch programs fail to compile on the 15.75 GB chip
+    # (mb=4 asks 43.6 GB; measured 2026-08-20, round 5). mb=16 =
+    # 8192-frame conv updates compiles and is the round-5 production
+    # composition-run shape.
     pmodel = PixelActorCritic(initial_std=0.5)
+    pixel_config = dataclasses.replace(config, num_minibatches=16)
     pix = pixels_mod.PixelConfig()
     pstate = {
-        "ts": pixels_mod.create_pixel_train_state(pmodel, config, rng, pix),
+        "ts": pixels_mod.create_pixel_train_state(pmodel, pixel_config, rng, pix),
         "envs": ppo.init_env_batch(rich_params, NUM_ENVS, rng),
     }
 
     def pixel_iter():
         pstate["ts"], pstate["envs"], _ = pixels_mod.pixel_train_iteration(
-            pstate["ts"], pstate["envs"], rich_params, pmodel, config, pix
+            pstate["ts"], pstate["envs"], rich_params, pmodel, pixel_config, pix
         )
 
     def pixel_sync():

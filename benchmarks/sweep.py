@@ -170,7 +170,11 @@ def main():
             track=track.make_lap_track(seed=0, props=True),
             render_npc_billboards=False,
         )
-        config = ppo.PPOConfig(num_envs=B, horizon=T)
+        # 16 minibatches is a MEMORY constraint at B=1024: the joint-VAE
+        # update materializes conv activations for the whole minibatch and
+        # <=8-minibatch programs exceed the 15.75 GB chip (see bench.py's
+        # pixel leg).
+        config = ppo.PPOConfig(num_envs=B, horizon=T, num_minibatches=16)
         pix = pixels_mod.PixelConfig()
         pmodel = PixelActorCritic(initial_std=0.5)
         ts = pixels_mod.create_pixel_train_state(pmodel, config, rng, pix)
