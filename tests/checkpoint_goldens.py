@@ -250,6 +250,19 @@ def main() -> None:
             print(f"{name}: ok")
         except FileNotFoundError as e:
             print(f"{name}: MISSING ({e}) — not written")
+    # Refuse to silently shrink the golden set: a missing artifact dir means
+    # blobs were lost (round 5: the rgb->rgb VAE dir was never git-tracked
+    # and a VM reset emptied it) — that must fail loudly here, not vanish
+    # from the JSON and pass the suite.
+    if os.path.exists(GOLDEN_PATH):
+        with open(GOLDEN_PATH) as f:
+            prior = set(json.load(f))
+        dropped = prior - set(goldens)
+        if dropped:
+            raise SystemExit(
+                f"refusing to write: goldens would drop {sorted(dropped)} "
+                "(artifact missing on disk — restore or retrain it first)"
+            )
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
     with open(GOLDEN_PATH, "w") as f:
         json.dump(goldens, f, indent=2)
